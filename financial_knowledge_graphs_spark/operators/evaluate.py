@@ -1,0 +1,242 @@
+"""Greedy bipartite evaluation (P/R/F1) — faithful port of the reference
+evaluator (reference src/utils/evaluation.py:23-357) as a grouped-map UDF.
+
+The matcher is intentionally order-sensitive (each predicted entity takes the
+best still-unmatched ground-truth entity, in prediction order — reference
+:113-141), so it cannot be a relational join without changing semantics; it
+runs per-document inside ``applyInPandas`` keyed by doc_id. Everything after
+the per-doc counts is a plain hash aggregate (micro-averaged P/R/F1,
+reference :316-332).
+
+Quirks ported exactly (SURVEY.md §7.4):
+- name-similarity < 50 short-circuit (reference :66-68);
+- 0.7*name + 0.3*mean(attr) weighting, attrs averaged only over attributes
+  present AND truthy on both sides (reference :74-82);
+- thresholds 80/80 (reference :26-31);
+- symmetric 'mergedwith'/'partnerswith' endpoint swap (reference :168-170);
+- numeric attrs within 10% relative error, max(1,|gt|) denominator (:184);
+- date compared with fuzz.ratio >= threshold (:189-195);
+- GT docs with no prediction row count as all-FN (:309-314);
+- unparseable (string) prediction treated as empty (:249-251);
+- overall F1 = arithmetic mean of entity and relationship F1 (:329-332).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ..functions.fuzz import ratio, token_sort_ratio
+
+ENT_ATTRS = ["companyName", "ticker", "industry", "country"]
+REL_NUM_ATTRS = ["valueAmount", "percentage"]
+
+
+def _norm(x: Any) -> str:
+    # reference src/utils/evaluation.py:33-35
+    return str(x).lower().strip() if x else ""
+
+
+def _entity_similarity(e1: dict, e2: dict, ) -> float:
+    # reference :61-83
+    name_sim = token_sort_ratio(_norm(e1.get("name", "")), _norm(e2.get("name", "")))
+    if name_sim < 50:
+        return name_sim
+    a1 = e1.get("attributes") or {}
+    a2 = e2.get("attributes") or {}
+    scores = []
+    for attr in ENT_ATTRS:
+        if attr in a1 and attr in a2:
+            v1, v2 = _norm(a1[attr]), _norm(a2[attr])
+            if v1 and v2:
+                scores.append(token_sort_ratio(v1, v2))
+    if scores:
+        return 0.7 * name_sim + 0.3 * (sum(scores) / len(scores))
+    return name_sim
+
+
+def evaluate_doc(pred: dict | str | None, gt: dict,
+                 ent_thr: float = 80, rel_thr: float = 80) -> dict[str, float]:
+    """One document → TP/FP/FN counts + attribute correct/total counts.
+    Pure Python; shared by the Spark grouped-map and unit tests."""
+    if not isinstance(pred, dict):  # string/None prediction → empty (:249-251)
+        pred = {"entities": [], "relationships": []}
+    pred_ents = pred.get("entities") or []
+    gt_ents = gt.get("entities") or []
+
+    matched: set[int] = set()
+    mappings: dict[str, str] = {}
+    ent_tp = ent_fp = 0
+    attr_counts = {a: [0, 0] for a in ENT_ATTRS}  # [correct, total]
+
+    for pe in pred_ents:
+        best_i, best_s = None, 0.0
+        for i, ge in enumerate(gt_ents):
+            if i in matched:
+                continue
+            s = _entity_similarity(pe, ge)
+            if s > best_s:
+                best_s, best_i = s, i
+        if best_i is not None and best_s >= ent_thr:
+            matched.add(best_i)
+            mappings[pe.get("id", "")] = gt_ents[best_i].get("id", "")
+            pa = pe.get("attributes") or {}
+            ga = gt_ents[best_i].get("attributes") or {}
+            for a in ENT_ATTRS:  # reference :89-96
+                if a in ga and ga[a]:
+                    attr_counts[a][1] += 1
+                    if a in pa and pa[a]:
+                        if token_sort_ratio(_norm(pa[a]), _norm(ga[a])) >= ent_thr:
+                            attr_counts[a][0] += 1
+            ent_tp += 1
+        else:
+            ent_fp += 1
+    ent_fn = len(gt_ents) - len(matched)
+
+    pred_rels = pred.get("relationships") or []
+    gt_rels = gt.get("relationships") or []
+    rel_matched: set[int] = set()
+    rel_tp = rel_fp = 0
+    rattr = {"valueAmount": [0, 0], "percentage": [0, 0], "transactionDate": [0, 0]}
+
+    def rel_match(pr: dict, gr: dict) -> bool:  # reference :154-171
+        pt, gtt = _norm(pr.get("type", "")), _norm(gr.get("type", ""))
+        if ratio(pt, gtt) < rel_thr:
+            return False
+        ps = mappings.get(pr.get("source", ""), "")
+        po = mappings.get(pr.get("target", ""), "")
+        gs, go = gr.get("source", ""), gr.get("target", "")
+        if pt in ("mergedwith", "partnerswith"):
+            return (ps == gs and po == go) or (ps == go and po == gs)
+        return ps == gs and po == go
+
+    for pr in pred_rels:
+        hit = None
+        for i, gr in enumerate(gt_rels):
+            if i in rel_matched:
+                continue
+            if rel_match(pr, gr):
+                hit = i
+                rel_matched.add(i)
+                break
+        if hit is None:
+            rel_fp += 1
+            continue
+        rel_tp += 1
+        pa = pr.get("attributes") or {}
+        ga = gt_rels[hit].get("attributes") or {}
+        for a in REL_NUM_ATTRS:  # reference :177-187
+            if a in ga and ga[a] is not None:
+                rattr[a][1] += 1
+                if a in pa and pa[a] is not None:
+                    try:
+                        pv, gv = float(pa[a]), float(ga[a])
+                        if abs(pv - gv) / max(1, abs(gv)) <= 0.1:
+                            rattr[a][0] += 1
+                    except (ValueError, TypeError):
+                        pass
+        if ga.get("transactionDate"):  # reference :189-195
+            rattr["transactionDate"][1] += 1
+            if pa.get("transactionDate"):
+                if ratio(_norm(pa["transactionDate"]), _norm(ga["transactionDate"])) >= rel_thr:
+                    rattr["transactionDate"][0] += 1
+    rel_fn = len(gt_rels) - len(rel_matched)
+
+    out: dict[str, float] = {
+        "ent_tp": ent_tp, "ent_fp": ent_fp, "ent_fn": ent_fn,
+        "rel_tp": rel_tp, "rel_fp": rel_fp, "rel_fn": rel_fn,
+    }
+    for a in ENT_ATTRS:
+        out[f"ea_{a}_correct"], out[f"ea_{a}_total"] = attr_counts[a]
+    for a in rattr:
+        out[f"ra_{a}_correct"], out[f"ra_{a}_total"] = rattr[a]
+    return out
+
+
+_COUNT_COLS = (
+    ["ent_tp", "ent_fp", "ent_fn", "rel_tp", "rel_fp", "rel_fn"]
+    + [f"ea_{a}_{k}" for a in ENT_ATTRS for k in ("correct", "total")]
+    + [f"ra_{a}_{k}" for a in ("valueAmount", "percentage", "transactionDate")
+       for k in ("correct", "total")]
+)
+
+DOC_METRICS_SCHEMA = StructType(
+    [StructField("doc_id", StringType())]
+    + [StructField(c, LongType()) for c in _COUNT_COLS]
+)
+
+
+def per_doc_metrics(pred_json: DataFrame, gt_json: DataFrame,
+                    ent_thr: float = 80, rel_thr: float = 80) -> DataFrame:
+    """pred/gt as (doc_id, payload JSON string) → per-doc count rows.
+
+    full-outer join keeps GT docs with no prediction (all-FN, reference
+    :309-314) and predictions with no GT (ignored by the reference corpus
+    loop — reference :294-307 only iterates prediction∩GT plus GT-only docs;
+    we reproduce that by scoring pred-only docs against empty GT? No: the
+    reference SKIPS pred files without GT entirely (:306-307) — so we drop
+    them here too (gt payload null ⇒ skip unless pred null too).
+    """
+    joined = pred_json.select("doc_id", F.col("payload").alias("pred")).join(
+        gt_json.select("doc_id", F.col("payload").alias("gt")),
+        "doc_id",
+        "full_outer",
+    ).filter(F.col("gt").isNotNull())  # reference skips pred-without-GT (:306-307)
+
+    def eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            gt = json.loads(r["gt"])
+            pred = None
+            if isinstance(r["pred"], str):
+                try:
+                    pred = json.loads(r["pred"])
+                except (ValueError, TypeError):
+                    pred = None
+            if pred is None:
+                # missing prediction → all FN (reference :309-314)
+                counts = {c: 0 for c in _COUNT_COLS}
+                counts["ent_fn"] = len(gt.get("entities") or [])
+                counts["rel_fn"] = len(gt.get("relationships") or [])
+            else:
+                counts = evaluate_doc(pred, gt, ent_thr, rel_thr)
+            counts["doc_id"] = r["doc_id"]
+            rows.append(counts)
+        return pd.DataFrame(rows, columns=["doc_id"] + _COUNT_COLS)
+
+    return joined.groupBy("doc_id").applyInPandas(eval_group, DOC_METRICS_SCHEMA)
+
+
+def corpus_metrics(doc_metrics: DataFrame) -> dict[str, float]:
+    """Micro-averaged corpus roll-up (reference :316-332)."""
+    agg = doc_metrics.agg(*[F.sum(c).alias(c) for c in _COUNT_COLS]).collect()[0]
+
+    def prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+        p = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+        r = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+        f1 = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+        return p, r, f1
+
+    ep, er, ef1 = prf(agg["ent_tp"], agg["ent_fp"], agg["ent_fn"])
+    rp, rr, rf1 = prf(agg["rel_tp"], agg["rel_fp"], agg["rel_fn"])
+    out = {
+        "entity_precision": ep, "entity_recall": er, "entity_f1": ef1,
+        "relationship_precision": rp, "relationship_recall": rr,
+        "relationship_f1": rf1,
+        "overall_f1": (ef1 + rf1) / 2,  # reference :329-332
+    }
+    for a in ENT_ATTRS:
+        t = agg[f"ea_{a}_total"]
+        out[f"entity_attr_{a}_accuracy"] = (agg[f"ea_{a}_correct"] / t) if t else 0.0
+    for a in ("valueAmount", "percentage", "transactionDate"):
+        t = agg[f"ra_{a}_total"]
+        out[f"rel_attr_{a}_accuracy"] = (agg[f"ra_{a}_correct"] / t) if t else 0.0
+    return out

@@ -1,0 +1,157 @@
+"""Graph materialization: canonical mapping, vertices/triples, merge upsert.
+
+Replaces the reference Neo4j sink (per-entity MERGE + per-attribute SET loops
+over bolt — reference src/db/neo4j_handler.py:218-290) with set-oriented
+DataFrame builds plus an idempotent key-based upsert into parquet tables
+(the local stand-in for Iceberg ``MERGE INTO``; the write path is isolated in
+``merge_upsert`` so an Iceberg catalog swap is a one-function change).
+
+Semantics preserved from the reference:
+- entity ids namespaced per doc before linking ({file}_{id},
+  reference src/db/neo4j_handler.py:317) → here (doc_id, local_id);
+- relationship endpoints remapped through the entity mapping; rows with an
+  unmapped endpoint are dropped (reference :346-350) — reproduced by inner
+  joins, but the drop COUNT is surfaced to the lineage table, never silent;
+- edge label upper-cased at storage (reference :264) → ``pred_label``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .linking import name_keys, similarity_edges
+
+
+def canonical_mapping(mentions: DataFrame, max_block: int = 1000) -> DataFrame:
+    """(type, name) → canonical component + canonical entity_id.
+
+    entity_id is content-addressed (sha2 of the component's min key), so
+    re-runs over overlapping corpora assign stable ids — required for
+    idempotent MERGE semantics.
+    """
+    keys = name_keys(mentions)
+    edges = similarity_edges(keys, max_block=max_block)
+    comp = connected_components(keys, edges, id_col="key")
+    mapped = keys.join(comp, "key", "left").withColumn(
+        "comp", F.coalesce("comp", "key")  # singletons
+    )
+    return mapped.withColumn(
+        "entity_id", F.concat(F.lit("ent_"), F.sha2(F.col("comp"), 256).substr(1, 16))
+    )
+
+
+def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
+    """One row per canonical entity; representative surface = most-mentioned
+    name (count desc, name asc tiebreak — deterministic), attributes =
+    most-frequent non-null per column (batch form of the reference's
+    last-writer-wins attribute refresh, reference src/db/neo4j_handler.py:188-216).
+    """
+    m = mentions.join(
+        mapping.select("type", "name", "comp", "entity_id", "norm"),
+        ["type", "name"],
+    )
+    # two-level agg: per-surface counts first (partial agg map-side), then
+    # max_by(count, surface) per entity — deterministic via name tiebreak.
+    per_surface = m.groupBy("entity_id", "type", "name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("norm").alias("norm"),
+        F.first("companyName", ignorenulls=True).alias("companyName"),
+        F.first("ticker", ignorenulls=True).alias("ticker"),
+        F.first("industry", ignorenulls=True).alias("industry"),
+        F.first("country", ignorenulls=True).alias("country"),
+    )
+    rep = F.max(
+        F.struct(
+            F.col("n"), F.col("name"), F.col("norm"),
+            F.col("companyName"), F.col("ticker"),
+            F.col("industry"), F.col("country"),
+        )
+    ).alias("rep")
+    agg = per_surface.groupBy("entity_id", "type").agg(
+        rep, F.sum("n").alias("n_mentions")
+    )
+    return agg.select(
+        "entity_id", "type",
+        F.col("rep.name").alias("name"),
+        F.col("rep.norm").alias("norm_name"),
+        F.col("rep.companyName").alias("companyName"),
+        F.col("rep.ticker").alias("ticker"),
+        F.col("rep.industry").alias("industry"),
+        F.col("rep.country").alias("country"),
+        "n_mentions",
+    )
+
+
+def build_triples(raw_triples: DataFrame, mentions: DataFrame,
+                  mapping: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Remap relationship endpoints to canonical ids.
+
+    Returns (triples, dropped) — dropped rows have an unmapped endpoint
+    (reference drops them silently at src/db/neo4j_handler.py:346-350; we
+    return them so the pipeline can count them into lineage).
+    """
+    ment_map = mentions.join(
+        mapping.select("type", "name", "entity_id"), ["type", "name"]
+    ).select("doc_id", "local_id", "entity_id", F.col("companyName").alias("canon_name"))
+
+    src = ment_map.select(
+        "doc_id",
+        F.col("local_id").alias("src_local"),
+        F.col("entity_id").alias("subj"),
+        F.col("canon_name").alias("subj_name"),
+    )
+    tgt = ment_map.select(
+        "doc_id",
+        F.col("local_id").alias("tgt_local"),
+        F.col("entity_id").alias("obj"),
+        F.col("canon_name").alias("obj_name"),
+    )
+    joined = raw_triples.join(src, ["doc_id", "src_local"], "left").join(
+        tgt, ["doc_id", "tgt_local"], "left"
+    )
+    ok = joined.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    dropped = joined.filter(F.col("subj").isNull() | F.col("obj").isNull())
+
+    # symmetric predicates canonicalized by sorted endpoints (SURVEY §1.3)
+    sym = F.lower("pred").isin("mergedwith", "partnerswith")
+    swap = sym & (F.col("subj_name") > F.col("obj_name"))
+    triples = ok.select(
+        "doc_id",
+        F.when(swap, F.col("obj")).otherwise(F.col("subj")).alias("subj"),
+        F.col("pred"),
+        F.when(swap, F.col("subj")).otherwise(F.col("obj")).alias("obj"),
+        F.when(swap, F.col("obj_name")).otherwise(F.col("subj_name")).alias("subj_name"),
+        F.when(swap, F.col("subj_name")).otherwise(F.col("obj_name")).alias("obj_name"),
+        F.upper("pred").alias("pred_label"),   # reference :264 storage casing
+        "valueAmount", "percentage", "transactionDate",
+    ).dropDuplicates(["doc_id", "subj", "pred", "obj", "valueAmount",
+                      "percentage", "transactionDate"])
+    return triples, dropped
+
+
+def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
+                 keys: list[str]) -> None:
+    """Idempotent upsert: new rows win on key collision (MERGE INTO ...
+    WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT). Parquet emulation:
+    anti-join survivors ∪ updates, written to a fresh directory then swapped.
+
+    On Iceberg this function body becomes a single ``MERGE INTO`` statement;
+    the staged-swap exists only because plain parquet has no row-level ops.
+    """
+    import os
+    import shutil
+
+    dedup = updates.dropDuplicates(keys)
+    if os.path.isdir(table_path) and dedup.limit(1).count() == 0:
+        return  # nothing to merge; don't churn the table (snapshot no-op)
+    if os.path.isdir(table_path):
+        existing = spark.read.parquet(table_path)
+        merged = existing.join(dedup.select(*keys).distinct(), keys, "left_anti").unionByName(dedup)
+        tmp = table_path + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+    else:
+        dedup.write.mode("overwrite").parquet(table_path)

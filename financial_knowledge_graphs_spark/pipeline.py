@@ -1,0 +1,159 @@
+"""End-to-end KG construction pipeline (docs → graph tables), resumable.
+
+One call = one micro-batch execution of the reference's llm → retrieve →
+neo4j phase chain (reference src/main.py:28-66), re-expressed as a single
+Spark job:
+
+  read documents (interleaved spans)
+   → resume anti-join vs checkpoints          [ops.OpsStore]
+   → derive story, quality filter, dedup      [operators.prep]
+   → vectorized extraction (pandas UDF)       [operators.extract]
+   → explode mentions / raw triples
+   → canonicalization (block join + CC)       [operators.linking/components]
+   → vertices / triples build + endpoint remap[operators.materialize]
+   → merge-upsert graph tables, checkpoint docs, lineage + metrics
+
+Canonicalization is GLOBAL (mentions from the new batch are canonicalized
+together with previously materialized vertices), matching the reference's
+insert-time disambiguation against the whole DB
+(reference src/db/neo4j_handler.py:70-134).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .operators import extract, materialize, prep
+from .ops import OpsStore
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str                      # output root (graph + ops tables)
+    run_id: str = "run_1"
+    min_tokens: int = prep.DEFAULT_MIN_TOKENS
+    batch_size: int | None = None       # bounded micro-batch; None = all
+    max_block: int = 1000               # linking block cap
+    stage_name: str = "extract"
+
+
+@dataclass
+class PipelineResult:
+    docs_in: int = 0
+    docs_processed: int = 0
+    mentions: int = 0
+    triples: int = 0
+    dropped_endpoint_rows: int = 0
+    seconds: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+def graph_paths(warehouse: str) -> dict[str, str]:
+    return {
+        "vertices": os.path.join(warehouse, "graph", "vertices"),
+        "triples": os.path.join(warehouse, "graph", "triples"),
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig,
+) -> PipelineResult:
+    t0 = time.time()
+    ops = OpsStore(spark, os.path.join(cfg.warehouse, "ops"))
+    res = PipelineResult()
+
+    # ---- resume anti-join (reference run_llm_task.py:37-49) ---------------
+    processed = ops.processed_docs(cfg.run_id, cfg.stage_name)
+    todo = prep.resume_anti_join(documents, processed)
+    if cfg.batch_size:
+        todo = prep.batch_limit(todo, cfg.batch_size)
+
+    # ---- prep: story + quality + dedup ------------------------------------
+    staged = prep.dedup_by_story(
+        prep.quality_filter(prep.with_story(todo), min_tokens=cfg.min_tokens)
+    )
+    # one pass: extraction output reused by mentions + triples + checkpoint
+    udf = extract.make_extract_udf(spark, alias_dict)
+    extracted = extract.run_extraction(staged, udf).select(
+        "doc_id", "extraction"
+    )
+    extracted = extracted.persist()
+    res.docs_processed = extracted.count()
+    res.docs_in = res.docs_processed  # todo.count() would re-run the scan
+    if res.docs_processed == 0:
+        # resume no-op: everything already checkpointed
+        ops.log_lineage(cfg.run_id, cfg.stage_name, 0, 0, 0, status="noop")
+        res.seconds = time.time() - t0
+        extracted.unpersist()
+        return res
+
+    mentions = extract.mentions_df(extracted)
+    raw_triples = extract.raw_triples_df(extracted)
+
+    # ---- global canonicalization ------------------------------------------
+    paths = graph_paths(cfg.warehouse)
+    mention_universe = mentions
+    if os.path.isdir(paths["vertices"]):
+        # fold previously-materialized surfaces into the linking graph so new
+        # aliases merge with existing canonical entities (insert-time
+        # disambiguation semantics, reference neo4j_handler.py:70-134)
+        prior = spark.read.parquet(paths["vertices"]).select(
+            "type", "name",
+            F.lit(None).cast("string").alias("doc_id"),
+            F.lit(None).cast("string").alias("local_id"),
+            "companyName", "ticker", "industry", "country",
+        )
+        mention_universe = mentions.unionByName(
+            prior, allowMissingColumns=True
+        )
+    mapping = materialize.canonical_mapping(mention_universe, max_block=cfg.max_block)
+    mapping = mapping.persist()
+
+    vertices = materialize.build_vertices(mention_universe, mapping)
+    triples, dropped = materialize.build_triples(raw_triples, mentions, mapping)
+    triples = triples.persist()
+
+    res.mentions = mentions.count()
+    res.triples = triples.count()
+    res.dropped_endpoint_rows = dropped.count()
+
+    # ---- materialize (merge semantics) -------------------------------------
+    materialize.merge_upsert(spark, paths["vertices"], vertices, ["entity_id"])
+    materialize.merge_upsert(
+        spark, paths["triples"], triples,
+        ["doc_id", "subj", "pred", "obj", "valueAmount", "percentage", "transactionDate"],
+    )
+
+    # ---- ops: checkpoint + lineage + metrics -------------------------------
+    ops.checkpoint_docs(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
+    ops.log_partition_lineage(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
+    ops.log_lineage(
+        cfg.run_id, "materialize",
+        input_rows=res.mentions, output_rows=res.triples,
+        dropped_rows=res.dropped_endpoint_rows,
+    )
+    res.seconds = time.time() - t0
+    ops.log_metrics(
+        cfg.run_id, cfg.stage_name,
+        {
+            "docs_processed": res.docs_processed,
+            "mentions": res.mentions,
+            "triples": res.triples,
+            "dropped_endpoint_rows": res.dropped_endpoint_rows,
+            "seconds": res.seconds,
+            "docs_per_sec": (res.docs_processed / res.seconds) if res.seconds else 0.0,
+        },
+    )
+    extracted.unpersist()
+    mapping.unpersist()
+    triples.unpersist()
+    return res

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The sandbox runs local[N] on one JVM; the config set below is the same one a
+1000-executor deployment would ship (AQE + skew-join splitting on, Arrow
+vectorization on, sane shuffle sizing), so plans exercised in tests are the
+plans we'd get on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "fkg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    Key choices, and why they survive a 100x scale-up:
+    - AQE on + skew-join on: hub entities (a major bank in ~30% of docs)
+      produce skewed join keys; AQE splits those partitions at runtime.
+    - ``spark.sql.shuffle.partitions`` defaults to 2 x cores locally; on a
+      real cluster it is overridden per job (or left to AQE coalescing).
+    - Arrow enabled with a bounded batch size so the pandas-UDF extraction
+      stage streams fixed-size record batches instead of whole partitions.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    cores = 32
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
