@@ -1,38 +1,559 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG query on the deterministic interleaved-span
+fixture corpus (the BASELINE.json input shape, synthesized at small scale).
+
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data operators). Two groups:
+- ``q_*``  : run on the driver's testdata parquet tables and have exact
+  DuckDB oracles in ``oracle_sql()`` (hashing is md5-based everywhere so
+  both engines compute identical values);
+- ``kg_*`` : run on the synthesized interleaved-document corpus (not
+  registered in DuckDB) → rows-only checks; their correctness gate is the
+  pytest suite (triple P/R ≥ 0.95, evaluator parity, resume).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+
+# ---------------------------------------------------------------------------
+# fixture corpus management (deterministic, cached on disk per size)
+# ---------------------------------------------------------------------------
+
+def _fixture_dir(n_docs: int, seed: int = 42) -> str:
+    return os.path.join(FIXTURE_ROOT, f"corpus_n{n_docs}_s{seed}")
+
+
+def ensure_fixture(spark: SparkSession, n_docs: int, seed: int = 42) -> str:
+    """Materialize documents/alias_dict/gt tables + run the KG pipeline once;
+    memoized on disk (marker file)."""
+    from financial_knowledge_graphs_spark import fixtures
+    from financial_knowledge_graphs_spark.pipeline import PipelineConfig, run_pipeline
+
+    root = _fixture_dir(n_docs, seed)
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    fixtures.write_corpus(spark, root, n_docs=n_docs, seed=seed)
+    docs = spark.read.parquet(os.path.join(root, "documents"))
+    alias = spark.read.parquet(os.path.join(root, "alias_dict"))
+    run_pipeline(
+        spark, docs, alias,
+        PipelineConfig(warehouse=os.path.join(root, "warehouse")),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _kg_n_docs(sf_dir: str) -> int:
+    # scale the KG fixture with the driver's sf: sf0.001→200, sf0.01→400
+    if "0.1" in os.path.basename(os.path.normpath(sf_dir)):
+        return 2000
+    if "0.01" in sf_dir:
+        return 400
+    return 200
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: acquisitions ledger — all 'acquired' edges with value,
+    aggregated by acquirer, from the end-to-end KG pipeline output."""
+    root = ensure_fixture(spark, 200)
+    triples = spark.read.parquet(os.path.join(root, "warehouse", "graph", "triples"))
+    return (
+        triples.filter(F.col("pred") == "acquired")
+        .groupBy(F.col("subj_name").alias("acquirer"))
+        .agg(
+            F.count(F.lit(1)).alias("n_acquisitions"),
+            F.round(F.sum("valueAmount"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("n_acquisitions"), "acquirer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (testdata tables)
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 rows 11-12: quality predicate + derived token_count."""
+    from financial_knowledge_graphs_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("token_count", token_count_expr("text").cast("long"))
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200) & (F.col("token_count") >= 30))
+        .select("doc_id", "token_count", "n_chars")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 row 51: token-distribution stats per language."""
+    from financial_knowledge_graphs_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").withColumn("tc", token_count_expr("text").cast("long"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("tc"), 6).alias("avg_tokens"),
+        F.min("tc").alias("min_tokens"),
+        F.max("tc").alias("max_tokens"),
+        F.sum("tc").alias("sum_tokens"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.text import lang_id
+
+    out = lang_id(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 row 17: resume anti-join pattern (customers w/o orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o.select("o_custkey").distinct(),
+                  c.c_custkey == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 rows 18/20: top-N per key (window row_number)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 rows 45-46: group-by counts."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (partial/final hash agg showcase); decimal
+    sums so both engines are bit-exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2024-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog windowed aggregate: per event_type per hour."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_orders_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim equi-join + agg: revenue per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG queries (fixture corpus; rows-only driver check, gated by pytest)
+# ---------------------------------------------------------------------------
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline output: canonical (subj, pred, obj) triples."""
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    return spark.read.parquet(os.path.join(root, "warehouse", "graph", "triples")).select(
+        "doc_id", "subj", "pred", "obj", "subj_name", "obj_name",
+        "valueAmount", "percentage", "transactionDate",
+    )
+
+
+def kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    return spark.read.parquet(os.path.join(root, "warehouse", "graph", "vertices"))
+
+
+def kg_story_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved spans → story (array_sort/filter/concat, no UDF)."""
+    from financial_knowledge_graphs_spark.operators import prep
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    docs = spark.read.parquet(os.path.join(root, "documents"))
+    return prep.with_story(docs).select(
+        "doc_id", F.length("story").alias("story_len"),
+        prep.span_signature().alias("span_sig"),
+    )
+
+
+def kg_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-matcher evaluation of pipeline extraction vs fixture GT —
+    one row of corpus micro-metrics (P/R/F1 ≥ 0.95 gate lives in pytest)."""
+    from financial_knowledge_graphs_spark import fixtures
+    from financial_knowledge_graphs_spark.operators import evaluate, extract, prep
+
+    n = _kg_n_docs(sf_dir)
+    root = ensure_fixture(spark, n)
+    docs = spark.read.parquet(os.path.join(root, "documents"))
+    alias = spark.read.parquet(os.path.join(root, "alias_dict"))
+    staged = prep.dedup_by_story(prep.quality_filter(prep.with_story(docs)))
+    ext = extract.run_extraction(staged, extract.make_extract_udf(spark, alias))
+    pred = ext.select("doc_id", F.to_json(F.col("extraction")).alias("payload"))
+    gt = spark.read.parquet(os.path.join(root, "gt_extractions")).select(
+        "doc_id", F.to_json(F.struct("entities", "relationships")).alias("payload")
+    )
+    dm = evaluate.per_doc_metrics(pred, gt)
+    m = evaluate.corpus_metrics(dm)
+    return spark.createDataFrame(
+        [tuple(round(m[k], 6) for k in sorted(m))],
+        ", ".join(f"`{k}` double" for k in sorted(m)),
+    )
+
+
+def kg_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over the testdata documents (blocked hamming join)."""
+    from financial_knowledge_graphs_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def kg_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path) incl. realized recall@5."""
+    from financial_knowledge_graphs_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def kg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media table → Arrow-batched feature extraction
+    (decode stubbed deterministically — no codecs in this container)."""
+    from financial_knowledge_graphs_spark.operators import multimodal
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    docs = spark.read.parquet(os.path.join(root, "documents"))
+    media = multimodal.media_table(docs)
+    return multimodal.extract_features(media, fake=True).select(
+        "doc_id", "media_ref", "kind", "n_bytes", "checksum"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # oracle-checked (testdata)
+        "q_quality_filter": q_quality_filter,
+        "q_token_stats": q_token_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_fingerprint": q_fingerprint,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_ann_topk": q_ann_topk,
+        "q_anti_join_resume": q_anti_join_resume,
+        "q_top_orders_per_customer": q_top_orders_per_customer,
+        "q_status_counts": q_status_counts,
+        "q_pricing_summary": q_pricing_summary,
+        "q_events_hourly": q_events_hourly,
+        "q_orders_join_agg": q_orders_join_agg,
+        # KG pipeline (fixture corpus; rows-only)
+        "kg_triples": kg_triples,
+        "kg_vertices": kg_vertices,
+        "kg_story_reconstruction": kg_story_reconstruction,
+        "kg_eval_metrics": kg_eval_metrics,
+        "kg_simhash_pairs": kg_simhash_pairs,
+        "kg_lsh_ann": kg_lsh_ann,
+        "kg_media_features": kg_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+_TC = f"len({_TOKENS.format(col='text')})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END)"
+    )
+    toks_lower = _TOKENS.format(col="lower(text)")
+    lang_occ = lambda m: (
+        f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)}"
+    )
+    lang_scores = {
+        "en": " + ".join(lang_occ(m) for m in [" the ", " and ", " of ", " to ", " a "]),
+        "es": " + ".join(lang_occ(m) for m in [" el ", " la ", " los ", " de ", " que "]),
+        "de": " + ".join(lang_occ(m) for m in [" der ", " die ", " und ", " das ", " nicht "]),
+        "fr": " + ".join(lang_occ(m) for m in [" le ", " la ", " les ", " et ", " que "]),
+    }
+    stopwords = "['the','a','an','and','of','to','in','is','that','for']"
+    return {
+        "q_quality_filter": f"""
+            SELECT doc_id, {_TC} AS token_count, n_chars
+            FROM documents
+            WHERE lang = 'en' AND n_chars >= 200 AND {_TC} >= 30
+        """,
+        "q_token_stats": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(tc), 6) AS avg_tokens,
+                   min(tc) AS min_tokens,
+                   max(tc) AS max_tokens,
+                   sum(tc) AS sum_tokens
+            FROM (SELECT lang, {_TC} AS tc FROM documents)
+            GROUP BY lang
+        """,
+        "q_dedup_exact": """
+            SELECT doc_id AS dup_id, keep_id
+            FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+                  FROM documents)
+            WHERE doc_id <> keep_id
+        """,
+        "q_lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     {lang_scores['en']} AS score_en,
+                     {lang_scores['es']} AS score_es,
+                     {lang_scores['de']} AS score_de,
+                     {lang_scores['fr']} AS score_fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                        WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred,
+                   CAST(greatest(score_en, score_es, score_de, score_fr) AS DOUBLE) AS lang_score
+            FROM s
+        """,
+        "q_quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, lower(text) AS low,
+                     {_TOKENS.format(col='lower(text)')} AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN length(low) > 0
+                         THEN length(regexp_replace(low, '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(low)
+                         ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> list_contains({stopwords}, x)))::DOUBLE / len(toks)
+                         ELSE 0 END, 6) AS stop_ratio,
+                   round(0.4 * least(1.0, len(toks) / 100.0)
+                       + 0.3 * (1.0 - CASE WHEN length(low) > 0
+                             THEN length(regexp_replace(low, '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(low) ELSE 0 END)
+                       + 0.3 * least(1.0, 4.0 * CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> list_contains({stopwords}, x)))::DOUBLE / len(toks) ELSE 0 END), 6) AS quality
+            FROM t
+        """,
+        "q_fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id, lower(trim(text)) AS norm,
+                     {_TOKENS.format(col='lower(trim(text))')} AS toks
+              FROM documents)
+            SELECT doc_id,
+                   md5(norm) AS exact_fp,
+                   list_min(CASE WHEN len(toks) >= 3
+                        THEN list_transform(generate_series(1, len(toks)-2), i -> md5(array_to_string(toks[i:i+2], ' ')))
+                        ELSE [md5(array_to_string(toks, ' '))] END) AS shingle_fp
+            FROM t
+        """,
+        "q_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents),
+            s AS (SELECT doc_id, {shingles} AS sh FROM t),
+            e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+            bs AS (SELECT sg FROM e GROUP BY sg HAVING count(*) <= 200),
+            e2 AS (SELECT e.* FROM e JOIN bs USING (sg)),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e2 a JOIN e2 b USING (sg) WHERE a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            j AS (SELECT id_a, id_b,
+                         round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+                  FROM p JOIN s x ON x.doc_id = p.id_a JOIN s y ON y.doc_id = p.id_b)
+            SELECT * FROM j WHERE jaccard >= 0.8
+        """,
+        "q_minhash_lsh": f"""
+            WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents),
+            s AS (SELECT doc_id, {shingles} AS sh FROM t),
+            sig AS (SELECT doc_id, sh,
+                      {', '.join(f"list_min(list_transform(sh, x -> md5('{j}:' || x))) AS mh{j}" for j in range(8))}
+                    FROM s),
+            bands AS (
+              SELECT doc_id, sh, 0 AS band, md5(mh0 || '|' || mh1) AS bkey FROM sig
+              UNION ALL SELECT doc_id, sh, 1, md5(mh2 || '|' || mh3) FROM sig
+              UNION ALL SELECT doc_id, sh, 2, md5(mh4 || '|' || mh5) FROM sig
+              UNION ALL SELECT doc_id, sh, 3, md5(mh6 || '|' || mh7) FROM sig),
+            ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+            b2 AS (SELECT bands.* FROM bands JOIN ok USING (band, bkey)),
+            cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+                     FROM b2 a JOIN b2 b USING (band, bkey)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                         / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+            FROM cand
+            WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+                  / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.8
+        """,
+        "q_embedding_neardup": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "q_ann_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS item_id,
+                     list_dot_product(q.vq, e.v)
+                       / (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS c
+              FROM q JOIN e ON e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, item_id, round(c, 6) AS cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, item_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_anti_join_resume": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_custkey IS NOT NULL AND o_totalprice > 400000)
+        """,
+        "q_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rn AS INT) AS rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "q_status_counts": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) :: DOUBLE AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_orders_join_agg": """
+            SELECT n_name AS nation, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    }

@@ -45,6 +45,9 @@ def connected_components(
         .union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
         .distinct()
     )
+    # materialize the edge list once — every iteration joins against it, and
+    # without this the whole upstream blocking-join chain re-executes per round
+    sym = sym.localCheckpoint(eager=True)
     comp = nodes.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
     comp = comp.localCheckpoint(eager=True)
 

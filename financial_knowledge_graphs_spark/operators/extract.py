@@ -210,13 +210,21 @@ def run_extraction(docs_with_story: DataFrame, extract_udf) -> DataFrame:
     degrade-don't-crash semantics (reference src/utils/batch_utils.py:358-359).
     """
     parsed = docs_with_story.withColumn("_raw", extract_udf(F.col("story"))).withColumn(
+        "_p", F.from_json(F.col("_raw"), schemas.EXTRACTION)
+    )
+    # PERMISSIVE from_json yields null FIELDS on garbage; coalesce per field
+    # so downstream always sees arrays (degrade-don't-crash,
+    # reference src/utils/batch_utils.py:358-359)
+    from pyspark.sql.types import ArrayType
+
+    parsed = parsed.withColumn(
         "extraction",
-        F.coalesce(
-            F.from_json(F.col("_raw"), schemas.EXTRACTION),
-            F.from_json(F.lit('{"entities":[],"relationships":[]}'), schemas.EXTRACTION),
+        F.struct(
+            F.coalesce(F.col("_p.entities"), F.array().cast(ArrayType(schemas.ENTITY))).alias("entities"),
+            F.coalesce(F.col("_p.relationships"), F.array().cast(ArrayType(schemas.RELATIONSHIP))).alias("relationships"),
         ),
     )
-    return parsed.drop("_raw")
+    return parsed.drop("_raw", "_p")
 
 
 def mentions_df(extracted: DataFrame) -> DataFrame:

@@ -31,7 +31,9 @@ def canonical_mapping(mentions: DataFrame, max_block: int = 1000) -> DataFrame:
     re-runs over overlapping corpora assign stable ids — required for
     idempotent MERGE semantics.
     """
-    keys = name_keys(mentions)
+    # keys feed three consumers (edge build ×2 sides, final map join) —
+    # materialize once instead of re-running the mention aggregation
+    keys = name_keys(mentions).localCheckpoint(eager=True)
     edges = similarity_edges(keys, max_block=max_block)
     comp = connected_components(keys, edges, id_col="key")
     mapped = keys.join(comp, "key", "left").withColumn(

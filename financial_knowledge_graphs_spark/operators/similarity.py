@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query set
+  against the corpus, window top-k. The baseline and the verifier for the
+  approximate path.
+- ``lsh_topk``: random-hyperplane LSH — deterministic md5-derived planes,
+  sign-bucket join, cosine only within matching buckets (multi-probe via
+  band structs). The 100 TB path: candidate generation is an equi-join on
+  bucket keys instead of a cross product.
+
+Vectors are cast to double arrays; cosine is built-in higher-order
+functions (JVM-side), no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast-join the
+    query set, score all pairs, keep rank ≤ k. One shuffle (the window)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).cast("array<double>").alias("v_i")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v_q")
+    )
+    scored = corpus.join(F.broadcast(q), F.col("item_id") != F.col("query_id")).select(
+        "query_id", "item_id",
+        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _plane(seed: str, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    everywhere, no RNG state to ship."""
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        for j in range(0, 32, 8):
+            if len(vals) >= dim:
+                break
+            vals.append(int(h[j:j + 8], 16) / float(0xFFFFFFFF) - 0.5)
+        i += 1
+    return vals
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign bucket: one bit per hyperplane (dot ≥ 0)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 6, n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent sign-LSH tables of
+    ``n_planes`` bits; candidates = items sharing a bucket with the query in
+    ANY table; exact cosine re-rank of candidates only."""
+    tables = [
+        [_plane(f"t{t}p{p}", dim) for p in range(n_planes)] for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        v = F.col(vc).cast("array<double>")
+        bucket_structs = F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), lsh_bucket_expr(v, tables[t]).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc), v.alias("v"), F.explode(bucket_structs).alias("bk")
+        ).select(idc, "v", F.col("bk.table").alias("table"), F.col("bk.bucket").alias("bucket"))
+
+    items = with_buckets(embeddings, id_col, vec_col).withColumnRenamed(id_col, "item_id").withColumnRenamed("v", "v_i")
+    qs = with_buckets(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id").withColumnRenamed("v", "v_q")
+
+    cands = (
+        items.join(F.broadcast(qs), ["table", "bucket"])
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", "v_q", "v_i")
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cands.select(
+        "query_id", "item_id",
+        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 5) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate search."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "item_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "item_id")
+    hit = e.join(a, ["query_id", "item_id"]).count()
+    total = e.count()
+    return hit / total if total else 1.0

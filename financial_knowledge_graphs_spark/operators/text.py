@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (whole-stage codegen, no UDFs), each
+deliberately written with engine-portable primitives (length/replace/md5/
+regexp) so the DuckDB oracle in __spark_entry__.py computes bit-identical
+results — that is the correctness gate for these operators.
+
+Operators: token counting, language-ID (stopword-hit heuristic), quality
+scoring (length/punct/stopword ratios), document fingerprinting (exact md5 +
+shingle fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers; counted as substring occurrences with
+# spaces to avoid word-boundary regex differences across engines
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " a "],
+    "es": [" el ", " la ", " los ", " de ", " que "],
+    "de": [" der ", " die ", " und ", " das ", " nicht "],
+    "fr": [" le ", " la ", " les ", " et ", " que "],
+}
+
+ENGLISH_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "that", "for"]
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """# of occurrences of a literal substring — (len - len(removed)) / len(needle).
+    Portable to any SQL engine (no regex)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def token_count_expr(text_col: str = "text") -> Column:
+    """Whitespace token count, empty-safe (same semantics as prep.token_count)."""
+    return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")))
+
+
+def lang_score_expr(text_col: str, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    s = None
+    for m in LANG_MARKERS[lang]:
+        o = occurrences(padded, m)
+        s = o if s is None else s + o
+    return s
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language ID → (doc_id, lang_pred, score).
+
+    greatest-of-scores with a deterministic tie order (en > es > de > fr)."""
+    scored = docs.select(
+        "doc_id",
+        *[lang_score_expr(text_col, l).alias(f"score_{l}") for l in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in LANG_MARKERS])
+    pred = (
+        F.when(F.col("score_en") == best, F.lit("en"))
+        .when(F.col("score_es") == best, F.lit("es"))
+        .when(F.col("score_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        best.cast("double").alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality score in [0,1]:
+    0.4 * min(1, tokens/100) + 0.3 * (1 - punct_ratio) + 0.3 * min(1, 4*stop_ratio)
+
+    - punct_ratio: non [a-z0-9 ] chars over length (lowercased)
+    - stop_ratio: English stopword tokens over tokens
+    """
+    low = F.lower(F.col(text_col))
+    toks = F.filter(F.split(low, r"\s+"), lambda w: w != F.lit(""))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*ENGLISH_STOPWORDS)))
+    punct = F.length(F.regexp_replace(low, r"[a-z0-9\s]", ""))
+    punct_ratio = F.when(F.length(low) > 0, punct / F.length(low)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: exact (md5 of normalized text) and a shingle
+    fingerprint (min md5 over 3-word shingles — a 1-permutation MinHash /
+    rolling-hash winnow)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = F.filter(F.split(norm, r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    sh = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(sh).alias("shingle_fp"),
+    )

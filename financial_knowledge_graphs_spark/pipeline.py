@@ -71,16 +71,20 @@ def run_pipeline(
     ops = OpsStore(spark, os.path.join(cfg.warehouse, "ops"))
     res = PipelineResult()
 
-    # ---- resume anti-join (reference run_llm_task.py:37-49) ---------------
-    processed = ops.processed_docs(cfg.run_id, cfg.stage_name)
-    todo = prep.resume_anti_join(documents, processed)
-    if cfg.batch_size:
-        todo = prep.batch_limit(todo, cfg.batch_size)
-
-    # ---- prep: story + quality + dedup ------------------------------------
-    staged = prep.dedup_by_story(
-        prep.quality_filter(prep.with_story(todo), min_tokens=cfg.min_tokens)
+    # ---- prep on the FULL corpus first (reference order: load_data applies
+    # quality filter + dedup before the processed-ids skip —
+    # reference src/utils/data_processing.py:42-67 then run_llm_task.py:37-49).
+    # Dedup must be corpus-level: a per-batch dedup would let a duplicate
+    # whose original landed in an earlier batch slip through.
+    prepared = prep.dedup_by_story(
+        prep.quality_filter(prep.with_story(documents), min_tokens=cfg.min_tokens)
     )
+
+    # ---- resume anti-join + bounded micro-batch ----------------------------
+    processed = ops.processed_docs(cfg.run_id, cfg.stage_name)
+    staged = prep.resume_anti_join(prepared, processed)
+    if cfg.batch_size:
+        staged = prep.batch_limit(staged, cfg.batch_size)
     # one pass: extraction output reused by mentions + triples + checkpoint
     udf = extract.make_extract_udf(spark, alias_dict)
     extracted = extract.run_extraction(staged, udf).select(

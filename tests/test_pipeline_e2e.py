@@ -1,0 +1,85 @@
+"""End-to-end + resume tests (SURVEY.md §5.2 items 5-6): docs table →
+triples table → evaluate vs fixture GT; partial run + resume == single run;
+quality gate P/R ≥ 0.95 through the full evaluator."""
+
+import pyspark.sql.functions as F
+
+from financial_knowledge_graphs_spark import fixtures
+from financial_knowledge_graphs_spark.operators import evaluate
+from financial_knowledge_graphs_spark.pipeline import (
+    PipelineConfig,
+    graph_paths,
+    run_pipeline,
+)
+
+
+def _docs_alias(spark, corpus, n_docs=300):
+    return (
+        fixtures.documents_df(corpus),
+        fixtures.alias_dict_df(spark, max(20, n_docs // 20), 42),
+    )
+
+
+def test_pipeline_end_to_end_quality_gate(spark, small_corpus, tmp_warehouse):
+    docs, alias = _docs_alias(spark, small_corpus)
+    res = run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
+    assert res.docs_processed > 0 and res.triples > 0
+
+    triples = spark.read.parquet(graph_paths(tmp_warehouse)["triples"])
+    pred = triples.select(
+        "doc_id", F.col("subj_name").alias("subj"), "pred", F.col("obj_name").alias("obj")
+    )
+    gt = fixtures.gt_triples_df(small_corpus).select("doc_id", "subj", "pred", "obj")
+    inter = pred.intersect(gt).count()
+    assert inter / pred.count() >= 0.95
+    assert inter / gt.count() >= 0.95
+
+    # ops tables written
+    from financial_knowledge_graphs_spark.ops import OpsStore
+    import os
+    ops = OpsStore(spark, os.path.join(tmp_warehouse, "ops"))
+    assert ops.read("checkpoints").count() == res.docs_processed
+    assert ops.read("lineage").count() > 0
+    assert ops.read("metrics").filter(F.col("name") == "docs_per_sec").count() == 1
+
+
+def test_partial_plus_resume_equals_single_run(spark, small_corpus, tmp_warehouse):
+    import tempfile, shutil
+    docs, alias = _docs_alias(spark, small_corpus)
+    # partial (bounded batch), then resume to completion
+    run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse, batch_size=120))
+    run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
+
+    single = tempfile.mkdtemp(prefix="fkg_single_")
+    try:
+        run_pipeline(spark, docs, alias, PipelineConfig(warehouse=single))
+        key = ["doc_id", "subj_name", "pred", "obj_name"]
+        a = spark.read.parquet(graph_paths(tmp_warehouse)["triples"]).select(*key)
+        b = spark.read.parquet(graph_paths(single)["triples"]).select(*key)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    finally:
+        shutil.rmtree(single, ignore_errors=True)
+
+
+def test_full_evaluator_on_pipeline_output(spark, small_corpus, tmp_warehouse):
+    """Score extraction docs against GT nested docs with the faithful
+    greedy evaluator — P/R ≥ 0.95 (BASELINE.json gate)."""
+    from financial_knowledge_graphs_spark.operators import extract, prep
+
+    docs, alias = _docs_alias(spark, small_corpus)
+    staged = prep.dedup_by_story(prep.quality_filter(prep.with_story(docs)))
+    ext = extract.run_extraction(staged, extract.make_extract_udf(spark, alias))
+    pred_json = ext.select(
+        "doc_id", F.to_json(F.col("extraction")).alias("payload")
+    )
+    gt_json = fixtures.gt_extractions_df(small_corpus).select(
+        "doc_id", F.to_json(F.struct("entities", "relationships")).alias("payload")
+    )
+    dm = evaluate.per_doc_metrics(pred_json, gt_json)
+    m = evaluate.corpus_metrics(dm)
+    assert m["entity_precision"] >= 0.95, m
+    assert m["entity_recall"] >= 0.95, m
+    assert m["relationship_precision"] >= 0.95, m
+    assert m["relationship_recall"] >= 0.95, m
+    assert m["overall_f1"] >= 0.95, m

@@ -1,0 +1,96 @@
+"""Prep-stage tests: span reconstruction invariant, quality filter, dedup,
+sampling (SURVEY.md §5.2 item 1)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from financial_knowledge_graphs_spark import fixtures
+from financial_knowledge_graphs_spark.operators import prep
+
+
+def test_story_reconstruction_sorts_scrambled_spans(spark):
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "second part.", "media_ref": "", "offset": 2},
+                {"kind": "image", "text": "", "media_ref": "media://x", "offset": 1},
+                {"kind": "text", "text": "First part.", "media_ref": "", "offset": 0},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    out = prep.with_story(df).select("story").first()["story"]
+    assert out == "First part. second part."
+
+
+def test_span_sequence_invariant_roundtrip(spark, small_corpus):
+    """Per-row invariant: span sequence (kind, text, media_ref, order) is
+    unchanged by every pipeline stage (BASELINE.json input_hint)."""
+    docs = fixtures.documents_df(small_corpus)
+    before = docs.select("doc_id", prep.span_signature().alias("sig"))
+    after_df = prep.quality_filter(prep.with_story(docs))
+    after = after_df.select("doc_id", prep.span_signature().alias("sig2"))
+    joined = before.join(after, "doc_id")
+    assert joined.filter(F.col("sig") != F.col("sig2")).count() == 0
+    # and the stored order really is scrambled for some docs (fixture property)
+    scrambled = docs.select(
+        F.max(
+            F.when(
+                F.col("spans") != F.array_sort(
+                    F.col("spans"), lambda a, b: a["offset"] - b["offset"]
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("any_scrambled")
+    ).first()["any_scrambled"]
+    assert scrambled == 1
+
+
+def test_quality_filter_reference_semantics(spark):
+    mk = lambda i, head, story_words, eng: (
+        f"d{i}",
+        [{"kind": "text", "text": " ".join(["word"] * story_words), "media_ref": "", "offset": 0}],
+        head,
+        eng,
+    )
+    df = spark.createDataFrame(
+        [
+            mk(1, "h", 250, True),    # keep: exactly at floor
+            mk(2, "h", 249, True),    # drop: under floor
+            mk(3, None, 300, True),   # drop: null headline
+            mk(4, "h", 300, False),   # drop: not english
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, headline string, is_english boolean",
+    )
+    kept = prep.quality_filter(prep.with_story(df))
+    assert [r["doc_id"] for r in kept.select("doc_id").orderBy("doc_id").collect()] == ["d1"]
+
+
+def test_token_count_is_whitespace_word_count(spark):
+    df = spark.createDataFrame([("a  b\tc\nd",), ("",), ("  ",)], "story: string")
+    out = [r[0] for r in df.select(prep.token_count_expr("story")).collect()]
+    assert out == [4, 0, 0]
+
+
+def test_dedup_keeps_first_doc_id(spark):
+    df = spark.createDataFrame(
+        [("d3", "same"), ("d1", "same"), ("d2", "other")], "doc_id string, story string"
+    )
+    kept = sorted(r["doc_id"] for r in prep.dedup_by_story(df).collect())
+    assert kept == ["d1", "d2"]
+
+
+def test_seeded_sample_deterministic(spark, small_corpus):
+    docs = fixtures.documents_df(small_corpus)
+    s1 = [r["doc_id"] for r in prep.seeded_sample(docs, 25, seed=42).select("doc_id").collect()]
+    s2 = [r["doc_id"] for r in prep.seeded_sample(docs.repartition(7), 25, seed=42).select("doc_id").collect()]
+    assert sorted(s1) == sorted(s2)
+    assert len(s1) == 25
+
+
+def test_resume_anti_join(spark):
+    docs = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id: string")
+    done = spark.createDataFrame([("b",), ("b",)], "doc_id: string")
+    left = sorted(r["doc_id"] for r in prep.resume_anti_join(docs, done).collect())
+    assert left == ["a", "c"]
