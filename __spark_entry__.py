@@ -452,7 +452,10 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents),
             s AS (SELECT doc_id, {shingles} AS sh FROM t),
-            e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+            pref AS (SELECT doc_id,
+                            list_sort(list_transform(sh, x -> md5(x)))[1:(floor(len(sh) * 0.2)::INT + 1)] AS p
+                     FROM s),
+            e AS (SELECT doc_id, unnest(p) AS sg FROM pref),
             bs AS (SELECT sg FROM e GROUP BY sg HAVING count(*) <= 200),
             e2 AS (SELECT e.* FROM e JOIN bs USING (sg)),
             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

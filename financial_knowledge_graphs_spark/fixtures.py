@@ -104,9 +104,12 @@ def make_companies(n: int, seed: int = 42) -> list[dict[str, Any]]:
     while len(companies) < n:
         adj = _ADJ[i % len(_ADJ)]
         noun = _NOUN[(i // len(_ADJ)) % len(_NOUN)]
-        base = f"{adj} {noun}"
-        if (i // (len(_ADJ) * len(_NOUN))) > 0:
-            base = f"{base} {i // (len(_ADJ) * len(_NOUN)) + 1}"
+        k = i // (len(_ADJ) * len(_NOUN))
+        # beyond the 400 two-word combos, suffix BOTH words with the series
+        # number ("Global2 Tech2") so normalized names neither collide nor
+        # contain each other (reference containment gate would merge
+        # "Global Tech" with "Global Tech Two" — see neo4j_handler.py:123)
+        base = f"{adj}{k + 1} {noun}{k + 1}" if k > 0 else f"{adj} {noun}"
         if base in seen:
             i += 1
             continue

@@ -34,11 +34,20 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "key",
     max_iter: int = 15,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """→ DataFrame(id_col, comp) where comp = min key of the component.
 
     ``nodes``: one row per node (column ``id_col``).
     ``edges``: undirected pairs (key_a, key_b); singletons need not appear.
+
+    Scale-adaptive execution (AQE-spirit runtime decision): the edge list is
+    materialized once anyway (it is re-joined every round), so its size is
+    known for free. Below ``driver_threshold`` edges the component labeling
+    runs as a driver-side union-find (one job total instead of
+    O(diameter) join+agg rounds) — the alias-similarity graph stays tiny
+    even at web scale because its nodes are DISTINCT surface forms, not
+    mentions. Above the threshold, the distributed hash-to-min loop runs.
     """
     sym = (
         edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
@@ -46,8 +55,13 @@ def connected_components(
         .distinct()
     )
     # materialize the edge list once — every iteration joins against it, and
-    # without this the whole upstream blocking-join chain re-executes per round
-    sym = sym.localCheckpoint(eager=True)
+    # without this the whole upstream blocking-join chain re-executes per
+    # round (persist, not localCheckpoint: the RDD conversion bypasses
+    # upstream DataFrame caches)
+    sym = sym.persist()
+    if sym.count() <= driver_threshold:
+        out = _driver_union_find(nodes, sym, id_col)
+        return out
     comp = nodes.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
     comp = comp.localCheckpoint(eager=True)
 
@@ -73,3 +87,35 @@ def connected_components(
         if changed == 0:
             break
     return comp.select(F.col("id").alias(id_col), "comp")
+
+
+def _driver_union_find(nodes: DataFrame, sym: DataFrame, id_col: str) -> DataFrame:
+    """Small-graph fast path: collect edges, union-find with path compression,
+    broadcast the label map back as a join against the node set."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = find(row["src"]), find(row["dst"])
+        if a != b:
+            # min label wins so comp == min(key) of the component
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+
+    labels = [(k, find(k)) for k in list(parent.keys())]
+    spark = nodes.sparkSession
+    if not labels:
+        return nodes.select(F.col(id_col), F.col(id_col).alias("comp"))
+    lab_df = spark.createDataFrame(labels, f"{id_col} string, comp_l string")
+    return (
+        nodes.select(id_col)
+        .join(F.broadcast(lab_df), id_col, "left")
+        .select(F.col(id_col), F.coalesce("comp_l", F.col(id_col)).alias("comp"))
+    )

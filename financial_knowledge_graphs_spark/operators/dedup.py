@@ -72,28 +72,49 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         max_block: int = 200) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
-    Blocking: a pair with Jaccard ≥ t shares ≥ t/(1+t) of its shingles, so
-    joining on any single shared shingle finds it; we join on the pair's
-    shingles directly (explode → equi-join), capped per-shingle block.
+    Candidate generation uses EXACT prefix filtering (ppjoin): order each
+    doc's shingles by a global total order (md5), keep only the first
+    ⌊(1-t)·|sh|⌋+1 as blocking keys. If J(A,B) ≥ t, A and B overlap in
+    > (1-t)·max(|A|,|B|) elements... equivalently each side can miss at most
+    ⌊(1-t)·|side|⌋ of its own elements from the intersection, so the
+    intersection always reaches into both prefixes — no recall loss, and
+    candidates drop by ~1/(1-t) vs full-shingle blocking.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    ).persist()  # consumed by prefix explode AND both verify joins
+    # Candidate generation is ID-ONLY: exploding pairs with the shingle
+    # arrays attached would push every multi-KB array through the pair
+    # shuffle; instead dedupe (id_a, id_b) first, then join the two arrays
+    # back for the verify step (each array crosses the wire once per side).
+    prefix_len = (
+        F.floor(F.size("sh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)
     )
-    ex = sh.select("id", "sh", F.explode("sh").alias("s"))
+    ex = sh.select(
+        "id",
+        F.explode(
+            F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                    F.lit(1), prefix_len)
+        ).alias("s"),
+    )
+    ex = ex.persist()  # feeds the block-size agg and both join sides
     sizes = ex.groupBy("s").agg(F.count(F.lit(1)).alias("bs"))
     ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), "s", "left_anti")
-    a = ex.select(F.col("s"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = ex.select(F.col("s"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = ex.select(F.col("s"), F.col("id").alias("id_a"))
+    b = ex.select(F.col("s"), F.col("id").alias("id_b"))
     pairs = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    verified = pairs.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return pairs.select(
+    return verified.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -137,7 +158,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         )
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
+    ).persist()  # feeds the block-size agg and both join sides
     sizes = buckets.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bs"))
     buckets = buckets.join(
         F.broadcast(sizes.filter(F.col("bs") > max_block)), ["band", "bkey"], "left_anti"
@@ -157,9 +178,9 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
                         num_perm: int = 8, bands: int = 4,
                         threshold: float = 0.8) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(docs, text_col, id_col, n, num_perm, bands)
     sh = docs.select(F.col(id_col).alias("id"),
-                     shingles_expr(F.col(text_col), n).alias("sh"))
+                     shingles_expr(F.col(text_col), n).alias("sh")).persist()
+    cands = lsh_candidate_pairs(docs, text_col, id_col, n, num_perm, bands)
     j = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -206,16 +227,19 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  bits: int = 16, max_hamming: int = 2) -> DataFrame:
+                  bits: int = 32, max_hamming: int = 2,
+                  max_block: int = 500) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Blocking: split the bitstring into (max_hamming+1) segments — any pair
     within distance d shares at least one exact segment (pigeonhole);
-    join per segment, then verify full hamming distance.
-    """
+    join per segment (id-only), verify full hamming after. Oversized
+    segment buckets (low-entropy corpora) are capped like every other
+    block in this module."""
     segs = max_hamming + 1
     seg_len = bits // segs
     h = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sh"))
+    h = h.persist()  # reused by blocking AND both verify joins
     seg_cols = F.array(
         *[
             F.struct(
@@ -225,23 +249,30 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             for s in range(segs)
         ]
     )
-    ex = h.select("id", "sh", F.explode(seg_cols).alias("sc")).select(
-        "id", "sh", F.col("sc.seg").alias("seg"), F.col("sc.skey").alias("skey")
+    ex = h.select("id", F.explode(seg_cols).alias("sc")).select(
+        "id", F.col("sc.seg").alias("seg"), F.col("sc.skey").alias("skey")
     )
-    a = ex.select("seg", "skey", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = ex.select("seg", "skey", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sizes = ex.groupBy("seg", "skey").agg(F.count(F.lit(1)).alias("bs"))
+    ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)),
+                 ["seg", "skey"], "left_anti")
+    a = ex.select("seg", "skey", F.col("id").alias("id_a"))
+    b = ex.select("seg", "skey", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["seg", "skey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    verified = pairs.join(
+        h.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(h.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     hamming = F.size(
         F.filter(
             F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: x != y),
             lambda d: d,
         )
     )
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    return verified.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
 

@@ -32,8 +32,11 @@ def canonical_mapping(mentions: DataFrame, max_block: int = 1000) -> DataFrame:
     idempotent MERGE semantics.
     """
     # keys feed three consumers (edge build ×2 sides, final map join) —
-    # materialize once instead of re-running the mention aggregation
-    keys = name_keys(mentions).localCheckpoint(eager=True)
+    # persist + materialize once instead of re-running the mention
+    # aggregation (NOT localCheckpoint: the RDD conversion bypasses any
+    # upstream DataFrame cache and would re-run the extraction UDF)
+    keys = name_keys(mentions).persist()
+    keys.count()
     edges = similarity_edges(keys, max_block=max_block)
     comp = connected_components(keys, edges, id_col="key")
     mapped = keys.join(comp, "key", "left").withColumn(

@@ -99,10 +99,14 @@ def dedup_by_story(docs: DataFrame, story_col: str = "story",
 def seeded_sample(docs: DataFrame, n: int, seed: int = 42,
                   id_col: str = "doc_id") -> DataFrame:
     """Exactly-n seeded sample (reference src/utils/data_processing.py:115-120
-    — df.sample(n=..., random_state=42)). rand(seed) ordering with id
-    tiebreak keeps it deterministic across partitionings."""
+    — df.sample(n=..., random_state=42)).
+
+    Content-hash sampling (order by md5(seed:id)) rather than rand(seed):
+    Spark seeds rand() per PARTITION, so its output changes under
+    repartitioning; a content hash is a pure function of the row and stays
+    identical on any cluster layout (and in any engine)."""
     return (
-        docs.withColumn("_r", F.rand(seed))
+        docs.withColumn("_r", F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col))))
         .orderBy("_r", id_col)
         .limit(n)
         .drop("_r")

@@ -51,9 +51,16 @@ def test_connected_components_chain_and_determinism(spark):
         [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("e", "f")],
         "key_a string, key_b string",
     )
-    comp = connected_components(nodes, edges)
-    got = {r["key"]: r["comp"] for r in comp.collect()}
-    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d", "g": "d"}
+    want = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d", "g": "d"}
+    # driver union-find fast path (default threshold)
+    got = {r["key"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert got == want
+    # distributed hash-to-min path must agree (threshold forced to 0)
+    got_dist = {
+        r["key"]: r["comp"]
+        for r in connected_components(nodes, edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_mapping_idempotent_under_rerun(spark):
