@@ -28,7 +28,7 @@ from financial_knowledge_graphs_spark.session import get_spark
 from financial_knowledge_graphs_spark.pipeline import PipelineConfig, run_pipeline
 
 cpus = int(sys.argv[1]); corpus = sys.argv[2]
-spark = get_spark("fkg-scaling", master=f"local[{{cpus}}]",
+spark = get_spark("fkg-scaling", master=f"local[{{cpus}}]", shuffle_partitions=64,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(os.path.join(corpus, "documents"))
@@ -73,7 +73,7 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     corpus = ensure_corpus(n_docs)
     low = run_level(8, corpus)
     high = run_level(32, corpus)
@@ -92,7 +92,8 @@ def main() -> None:
 
 Protocol: identical end-to-end KG pipeline job (read interleaved docs →
 extract → link → canonicalize → materialize graph + ops tables), same
-{n_docs:,}-doc corpus, separate JVMs, local[8] vs local[32] — the sandbox
+{n_docs:,}-doc corpus, identical shuffle partitioning (64), separate JVMs,
+quiet machine, local[8] vs local[32] — the sandbox
 substitute for N vs 4N executors mandated by the driver.
 
 | parallelism | wall time (s) | docs processed | docs/sec |

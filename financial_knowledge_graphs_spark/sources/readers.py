@@ -1,0 +1,162 @@
+"""Source/sink operators (SURVEY.md §2.1) — every format the reference reads
+or writes, re-expressed as schema-explicit Spark readers.
+
+The reference loads articles from CSV/XLSX/YAML into a per-row dict
+(reference src/utils/file_utils.py:250-317), stores one JSON file per
+extraction (:189-218), scans result directories (:135-164), and reads OpenAI
+batch JSONL (reference src/utils/batch_utils.py:328-338). Here each becomes
+a DataFrame with a fixed schema; per-doc files become rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, StringType, StructField, StructType,
+)
+
+from .. import schemas
+
+# reference CSV shape (src/utils/data_processing.py:13-16)
+ARTICLES_CSV = StructType(
+    [
+        StructField("newsID", StringType(), False),
+        StructField("transmissionDate", StringType()),
+        StructField("headline", StringType()),
+        StructField("story", StringType()),
+        StructField("isinTags", StringType()),
+        StructField("tickerTags", StringType()),
+        StructField("isEnglish", BooleanType()),
+    ]
+)
+
+
+def read_articles_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan with explicit schema (SURVEY §2.1 row 1; replaces
+    pd.read_csv at reference file_utils.py:267). Schema-on-write: malformed
+    rows land in _corrupt_record instead of crashing."""
+    return (
+        spark.read.schema(ARTICLES_CSV.add("_corrupt_record", StringType()))
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def articles_to_documents(articles: DataFrame) -> DataFrame:
+    """Reference CSV shape → the engine's interleaved-span documents table
+    (one text span per article; the degenerate single-span case of the
+    BASELINE.json input shape)."""
+    span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("story").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return articles.select(
+        F.col("newsID").alias("doc_id"),
+        F.array(span).alias("spans"),
+        F.col("transmissionDate").alias("transmission_date"),
+        F.col("headline"),
+        F.col("isinTags").alias("isin_tags"),
+        F.col("tickerTags").alias("ticker_tags"),
+        F.col("isEnglish").alias("is_english"),
+    )
+
+
+def read_extraction_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-of-JSON scan (SURVEY §2.1 row 6): one extraction document
+    per file, doc_id recovered from the filename stem — replaces
+    load_evaluation_files (reference file_utils.py:135-164, key = stem,
+    'summary.json' excluded)."""
+    raw = (
+        spark.read.schema(schemas.EXTRACTION)
+        .option("multiLine", True)
+        .json(path)
+        .withColumn("_file", F.input_file_name())
+    )
+    doc_id = F.regexp_extract(F.col("_file"), r"([^/]+)\.json$", 1)
+    return (
+        raw.withColumn("doc_id", F.regexp_replace(doc_id, r"^result_", ""))
+        .filter(F.col("doc_id") != "summary")
+        .select("doc_id", "entities", "relationships")
+    )
+
+
+def write_extraction_dir(extracted: DataFrame, path: str) -> None:
+    """JSON sink: extraction docs as JSON rows (per-doc files become rows —
+    SURVEY §2.1 row 5; replaces save_json per article)."""
+    extracted.select(
+        "doc_id", F.col("extraction.entities").alias("entities"),
+        F.col("extraction.relationships").alias("relationships"),
+    ).write.mode("overwrite").json(path)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-batch-protocol shapes (kept for reference-format compatibility even
+# though extraction is in-engine; SURVEY §2.1 rows 7-8)
+# ---------------------------------------------------------------------------
+
+def build_batch_requests(docs_with_story: DataFrame, prompt_prefix: str,
+                         prompt_suffix: str = "", model: str = "gpt-4o-mini") -> DataFrame:
+    """Prompt templating + JSONL request build (SURVEY §2.4 row 22, §2.1
+    row 7): one request object per line, custom_id = doc_id — the shape the
+    reference writes at openai_batch_processor.py:92-117. Pure expressions:
+    concat for the template, to_json(struct(...)) for the line."""
+    prompt = F.concat(F.lit(prompt_prefix), F.col("story"), F.lit(prompt_suffix))
+    body = F.struct(
+        F.lit(model).alias("model"),
+        F.array(
+            F.struct(F.lit("user").alias("role"), prompt.alias("content"))
+        ).alias("messages"),
+    )
+    return docs_with_story.select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id").alias("custom_id"),
+                F.lit("POST").alias("method"),
+                F.lit("/v1/chat/completions").alias("url"),
+                body.alias("body"),
+            )
+        ).alias("value")
+    )
+
+
+_BATCH_RESULT_SCHEMA = (
+    "custom_id string, response struct<body: struct<choices: array<struct<"
+    "message: struct<content: string>>>>>"
+)
+
+
+def read_batch_results_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL batch-results scan + nested pluck (SURVEY §2.1 row 8, §2.4 row
+    25): response.body.choices[0].message.content with missing-field guard
+    (reference batch_utils.py:328-341)."""
+    raw = spark.read.schema(_BATCH_RESULT_SCHEMA).json(path)
+    # F.get (not [0]): ANSI mode throws on out-of-bounds, empty choices must
+    # degrade to NULL → '' (reference skips those rows)
+    content = F.get(F.col("response.body.choices"), 0)["message"]["content"]
+    return raw.select(
+        F.col("custom_id").alias("doc_id"),
+        F.coalesce(content, F.lit("")).alias("content"),
+    )
+
+
+def tolerant_extraction_expr(content_col) -> F.Column:
+    """Tolerant JSON extraction (SURVEY §2.4 row 24): strip ```json fences
+    if present, parse against the explicit schema, degrade to empty arrays —
+    Catalyst-native replacement for reference text_processing.py:12-33."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    fenced = F.regexp_extract(c, r"```(?:json)?\s*([\s\S]*?)```", 1)
+    payload = F.when(F.length(fenced) > 0, fenced).otherwise(c)
+    parsed = F.from_json(payload, schemas.EXTRACTION)
+    from pyspark.sql.types import ArrayType
+
+    return F.struct(
+        F.coalesce(parsed["entities"], F.array().cast(ArrayType(schemas.ENTITY))).alias("entities"),
+        F.coalesce(parsed["relationships"], F.array().cast(ArrayType(schemas.RELATIONSHIP))).alias("relationships"),
+    )

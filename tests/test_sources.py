@@ -1,0 +1,109 @@
+"""Source/sink + standardization operator tests (SURVEY §2.1, §2.4)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from financial_knowledge_graphs_spark.functions import standardize
+from financial_knowledge_graphs_spark.sources import readers
+
+
+def test_csv_scan_and_convert(spark, tmp_warehouse):
+    p = os.path.join(tmp_warehouse, "articles.csv")
+    with open(p, "w") as f:
+        f.write("newsID,transmissionDate,headline,story,isinTags,tickerTags,isEnglish\n")
+        f.write('n1,2024-01-02,Head One,"Story one text.",,,true\n')
+        f.write('n2,2024-01-03,Head Two,"Story two, with comma.",,XY,false\n')
+    df = readers.read_articles_csv(spark, p)
+    rows = {r["newsID"]: r for r in df.collect()}
+    assert rows["n2"]["story"] == "Story two, with comma."
+    assert rows["n2"]["isEnglish"] is False
+
+    docs = readers.articles_to_documents(df)
+    d = docs.filter(F.col("doc_id") == "n1").first()
+    assert d["spans"][0]["kind"] == "text"
+    assert d["spans"][0]["text"] == "Story one text."
+
+
+def test_extraction_dir_roundtrip(spark, tmp_warehouse):
+    outdir = os.path.join(tmp_warehouse, "results")
+    os.makedirs(outdir)
+    doc = {"entities": [{"id": "C1", "type": "Company", "name": "Apex",
+                         "attributes": {"companyName": "Apex Corp", "ticker": None,
+                                        "industry": None, "country": None}}],
+           "relationships": []}
+    with open(os.path.join(outdir, "result_doc_1.json"), "w") as f:
+        json.dump(doc, f)
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump({"entities": [], "relationships": []}, f)
+    df = readers.read_extraction_dir(spark, outdir)
+    rows = df.collect()
+    assert len(rows) == 1  # summary.json excluded (reference file_utils.py:158)
+    assert rows[0]["doc_id"] == "doc_1"
+    assert rows[0]["entities"][0]["name"] == "Apex"
+
+
+def test_batch_request_build_and_result_pluck(spark, tmp_warehouse):
+    docs = spark.createDataFrame([("d1", "Some story.")], "doc_id string, story string")
+    req = readers.build_batch_requests(docs, "Extract from: ").collect()[0]["value"]
+    obj = json.loads(req)
+    assert obj["custom_id"] == "d1"
+    assert obj["body"]["messages"][0]["content"] == "Extract from: Some story."
+
+    p = os.path.join(tmp_warehouse, "results.jsonl")
+    line = {"custom_id": "d1", "response": {"body": {"choices": [
+        {"message": {"content": "```json\n{\"entities\": [], \"relationships\": []}\n```"}}]}}}
+    bad = {"custom_id": "d2", "response": {"body": {"choices": []}}}
+    with open(p, "w") as f:
+        f.write(json.dumps(line) + "\n" + json.dumps(bad) + "\n")
+    out = readers.read_batch_results_jsonl(spark, p)
+    rows = {r["doc_id"]: r["content"] for r in out.collect()}
+    assert "entities" in rows["d1"]
+    assert rows["d2"] == ""  # missing-field guard
+
+
+def test_tolerant_extraction_fences(spark):
+    df = spark.createDataFrame(
+        [
+            ("fenced", '```json\n{"entities": [], "relationships": []}\n```'),
+            ("plain", '{"entities": [], "relationships": []}'),
+            ("garbage", "I could not parse the article, sorry!"),
+        ],
+        "doc_id string, content string",
+    )
+    out = df.select("doc_id", readers.tolerant_extraction_expr("content").alias("x"))
+    rows = {r["doc_id"]: r["x"] for r in out.collect()}
+    for k in rows:
+        assert list(rows[k]["entities"]) == []
+        assert list(rows[k]["relationships"]) == []
+
+
+def test_standardize_money_percent_date(spark):
+    df = spark.createDataFrame(
+        [
+            ("$1.2 billion", "25.5%", "2024-03-15"),
+            ("€250,000", "7 percent", "2024-03"),
+            ("3.5m", "12", "3/15/2024"),
+            ("no numbers here", "", "March 5, 2024"),
+        ],
+        "money string, pct string, date string",
+    )
+    out = df.select(
+        standardize.parse_money_expr("money").alias("m"),
+        standardize.parse_percentage_expr("pct").alias("p"),
+        standardize.normalize_date_expr("date").alias("d"),
+    ).collect()
+    assert out[0]["m"] == 1.2e9 and out[0]["p"] == 25.5 and out[0]["d"] == "2024-03-15"
+    assert out[1]["m"] == 250000.0 and out[1]["p"] == 7.0 and out[1]["d"] == "2024-03"
+    assert out[2]["m"] == 3.5e6 and out[2]["d"] == "2024-03-15"
+    assert out[3]["m"] is None and out[3]["d"] == "2024-03-05"
+
+
+def test_pred_label_and_namespacing(spark):
+    df = spark.createDataFrame([("acquired", "doc1", "C1")], "t string, d string, l string")
+    r = df.select(
+        standardize.pred_label_expr("t").alias("lbl"),
+        standardize.namespaced_id_expr("d", "l").alias("nid"),
+    ).first()
+    assert r["lbl"] == "ACQUIRED" and r["nid"] == "doc1_C1"
