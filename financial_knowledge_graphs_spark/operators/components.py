@@ -49,19 +49,22 @@ def connected_components(
     even at web scale because its nodes are DISTINCT surface forms, not
     mentions. Above the threshold, the distributed hash-to-min loop runs.
     """
-    sym = (
-        edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
-        .union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
-        .distinct()
-    )
-    # materialize the edge list once — every iteration joins against it, and
-    # without this the whole upstream blocking-join chain re-executes per
-    # round (persist, not localCheckpoint: the RDD conversion bypasses
-    # upstream DataFrame caches)
-    sym = sym.persist()
-    if sym.count() <= driver_threshold:
-        out = _driver_union_find(nodes, sym, id_col)
+    # materialize the edge list ONCE — the upstream blocking-join chain is the
+    # expensive part and every consumer below re-reads it (persist, not
+    # localCheckpoint: the RDD conversion bypasses upstream DataFrame caches)
+    e = edges.select("key_a", "key_b").persist()
+    # path choice + small-graph fetch in a single job: take threshold+1 rows;
+    # a short result IS the full edge list, so union-find runs on it directly
+    head = e.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        out = _driver_union_find(nodes, head, id_col)
+        e.unpersist()
         return out
+    # distributed hash-to-min. Symmetrize by a cheap cache-fed union — no
+    # distinct: duplicate messages cannot change a min() aggregate.
+    sym = e.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst")).union(
+        e.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    )
     comp = nodes.select(F.col(id_col).alias("id")).withColumn("comp", F.col("id"))
     comp = comp.localCheckpoint(eager=True)
 
@@ -86,12 +89,14 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    e.unpersist()
     return comp.select(F.col("id").alias(id_col), "comp")
 
 
-def _driver_union_find(nodes: DataFrame, sym: DataFrame, id_col: str) -> DataFrame:
-    """Small-graph fast path: collect edges, union-find with path compression,
-    broadcast the label map back as a join against the node set."""
+def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFrame:
+    """Small-graph fast path: union-find with path compression over collected
+    (key_a, key_b) rows, broadcast the label map back as a join against the
+    node set. Works on one-directional unique pairs — union is symmetric."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -102,8 +107,8 @@ def _driver_union_find(nodes: DataFrame, sym: DataFrame, id_col: str) -> DataFra
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.collect():
-        a, b = find(row["src"]), find(row["dst"])
+    for row in edge_rows:
+        a, b = find(row["key_a"]), find(row["key_b"])
         if a != b:
             # min label wins so comp == min(key) of the component
             lo, hi = (a, b) if a < b else (b, a)

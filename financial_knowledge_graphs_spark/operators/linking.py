@@ -69,12 +69,6 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
         F.col("key").alias("key_b"), F.col("norm").alias("norm_b"),
         F.col("tokens").alias("tokens_b"),
     )
-    pairs = (
-        a.join(b, ["type", "tok"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .drop("tok")
-        .dropDuplicates(["key_a", "key_b"])
-    )
     # containment gate (reference src/db/neo4j_handler.py:123-124)
     contained = (
         (F.instr(F.col("norm_b"), F.col("norm_a")) > 0) & (F.length("norm_a") > 3)
@@ -83,7 +77,14 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
     inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
     union = F.size(F.array_union("tokens_a", "tokens_b"))
     jaccard = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # score-then-dedupe: the match predicate is deterministic per (key_a,
+    # key_b), so multi-token duplicate pairs agree — filtering FIRST shrinks
+    # the dedupe shuffle from every candidate pair (with token arrays) to
+    # just surviving edges (~50x less shuffle volume at sf0.1-equivalent)
     return (
-        pairs.filter(contained & (jaccard > 0.5))
+        a.join(b, ["type", "tok"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(contained & (jaccard > 0.5))
         .select("key_a", "key_b", jaccard.alias("jaccard"))
+        .dropDuplicates(["key_a", "key_b"])
     )

@@ -36,7 +36,6 @@ def canonical_mapping(mentions: DataFrame, max_block: int = 1000) -> DataFrame:
     # aggregation (NOT localCheckpoint: the RDD conversion bypasses any
     # upstream DataFrame cache and would re-run the extraction UDF)
     keys = name_keys(mentions).persist()
-    keys.count()
     edges = similarity_edges(keys, max_block=max_block)
     comp = connected_components(keys, edges, id_col="key")
     mapped = keys.join(comp, "key", "left").withColumn(
@@ -90,12 +89,15 @@ def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
 
 
 def build_triples(raw_triples: DataFrame, mentions: DataFrame,
-                  mapping: DataFrame) -> tuple[DataFrame, DataFrame]:
+                  mapping: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Remap relationship endpoints to canonical ids.
 
-    Returns (triples, dropped) — dropped rows have an unmapped endpoint
-    (reference drops them silently at src/db/neo4j_handler.py:346-350; we
-    return them so the pipeline can count them into lineage).
+    Returns (triples, dropped, joined) — dropped rows have an unmapped
+    endpoint (reference drops them silently at src/db/neo4j_handler.py:346-350;
+    we return them so the pipeline can count them into lineage). ``joined``
+    is the PERSISTED endpoint-join intermediate both outputs derive from —
+    caller counts/filters against it without re-running the join chain, and
+    owns its ``unpersist``.
     """
     ment_map = mentions.join(
         mapping.select("type", "name", "entity_id"), ["type", "name"]
@@ -115,7 +117,7 @@ def build_triples(raw_triples: DataFrame, mentions: DataFrame,
     )
     joined = raw_triples.join(src, ["doc_id", "src_local"], "left").join(
         tgt, ["doc_id", "tgt_local"], "left"
-    )
+    ).persist()
     ok = joined.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
     dropped = joined.filter(F.col("subj").isNull() | F.col("obj").isNull())
 
@@ -133,7 +135,7 @@ def build_triples(raw_triples: DataFrame, mentions: DataFrame,
         "valueAmount", "percentage", "transactionDate",
     ).dropDuplicates(["doc_id", "subj", "pred", "obj", "valueAmount",
                       "percentage", "transactionDate"])
-    return triples, dropped
+    return triples, dropped, joined
 
 
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,

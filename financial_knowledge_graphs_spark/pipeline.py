@@ -41,6 +41,7 @@ class PipelineConfig:
     batch_size: int | None = None       # bounded micro-batch; None = all
     max_block: int = 1000               # linking block cap
     stage_name: str = "extract"
+    extract_partitions: int | None = None  # None = 3 x total cores
 
 
 @dataclass
@@ -76,8 +77,14 @@ def run_pipeline(
     # reference src/utils/data_processing.py:42-67 then run_llm_task.py:37-49).
     # Dedup must be corpus-level: a per-batch dedup would let a duplicate
     # whose original landed in an earlier batch slip through.
+    # Project down to (doc_id, story) BEFORE the dedup window shuffle: spans /
+    # headline / tags would otherwise ride through two shuffles (dedup +
+    # extraction repartition) and roughly double the shuffle bytes. Catalyst
+    # prunes columns on scans but cannot prune through our later consumers,
+    # so the projection is explicit here.
     prepared = prep.dedup_by_story(
         prep.quality_filter(prep.with_story(documents), min_tokens=cfg.min_tokens)
+        .select("doc_id", "story")
     )
 
     # ---- resume anti-join + bounded micro-batch ----------------------------
@@ -85,6 +92,13 @@ def run_pipeline(
     staged = prep.resume_anti_join(prepared, processed)
     if cfg.batch_size:
         staged = prep.batch_limit(staged, cfg.batch_size)
+    # Explicit task sizing for the CPU-bound UDF stage: AQE's coalescing
+    # targets shuffle-partition BYTES (64MB advisory), which collapses a
+    # small-footprint/high-CPU extraction input to a handful of tasks and
+    # strands the rest of the cluster. Pin partitions to a multiple of total
+    # cores so every core gets work (same call a real cluster job makes).
+    n_tasks = cfg.extract_partitions or 3 * spark.sparkContext.defaultParallelism
+    staged = staged.repartition(n_tasks, "doc_id")
     # one pass: extraction output reused by mentions + triples + checkpoint
     udf = extract.make_extract_udf(spark, alias_dict)
     extracted = extract.run_extraction(staged, udf).select(
@@ -122,8 +136,13 @@ def run_pipeline(
     mapping = materialize.canonical_mapping(mention_universe, max_block=cfg.max_block)
     mapping = mapping.persist()
 
-    vertices = materialize.build_vertices(mention_universe, mapping)
-    triples, dropped = materialize.build_triples(raw_triples, mentions, mapping)
+    # vertices feed two actions (count implicit in merge + the merge write
+    # itself); triples feed count + merge; both persist so the join chains
+    # run once. dropped counts off the persisted endpoint-join intermediate.
+    vertices = materialize.build_vertices(mention_universe, mapping).persist()
+    triples, dropped, ep_joined = materialize.build_triples(
+        raw_triples, mentions, mapping
+    )
     triples = triples.persist()
 
     res.mentions = mentions.count()
@@ -159,5 +178,7 @@ def run_pipeline(
     )
     extracted.unpersist()
     mapping.unpersist()
+    vertices.unpersist()
+    ep_joined.unpersist()
     triples.unpersist()
     return res
