@@ -143,6 +143,66 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 row 16: keep-first content dedup — surviving rows
+    (deterministic min-id per content digest), the prep-stage form."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 row 19: exactly-n seeded sample via content-hash order
+    (stable under any partitioning — rand(seed) is not)."""
+    d = _t(spark, sf_dir, "documents")
+    r = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("r", r)
+        .orderBy("r", "doc_id")
+        .limit(50)
+        .select("doc_id", "r")
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 row 51: token-count histogram (50-token bins)."""
+    from financial_knowledge_graphs_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "tc", token_count_expr("text").cast("long")
+    )
+    return d.groupBy(
+        (F.floor(F.col("tc") / 50) * 50).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 row 26: the reference's entity-name normalization
+    (reference src/db/neo4j_handler.py:36-68) — the parity-critical
+    transform that drives linking/canonicalization. Legal suffixes are
+    synthesized onto part names so the suffix-strip + stopword paths all
+    execute."""
+    from financial_knowledge_graphs_spark.operators.normalize import normalize_name_expr
+
+    p = _t(spark, sf_dir, "part")
+    name = F.concat(
+        F.col("p_name"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(", Inc."))
+        .when(F.col("p_partkey") % 4 == 1, F.lit(" Corp"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit(" & Co. Ltd."))
+        .otherwise(F.lit("")),
+    )
+    return p.select(
+        "p_partkey",
+        name.alias("name"),
+        normalize_name_expr(name).alias("norm"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -329,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": q_quality_filter,
         "q_token_stats": q_token_stats,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_keep_first": q_dedup_keep_first,
+        "q_seeded_sample": q_seeded_sample,
+        "q_token_histogram": q_token_histogram,
+        "q_name_normalize": q_name_normalize,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
@@ -359,6 +423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
 _TC = f"len({_TOKENS.format(col='text')})"
+
+
+def _suffix_list_sql() -> str:
+    from financial_knowledge_graphs_spark.operators.normalize import COMMON_SUFFIXES
+
+    return "[" + ", ".join(f"'{s}'" for s in COMMON_SUFFIXES) + "]"
+
+
+_SUFFIX_LIST = _suffix_list_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -399,6 +472,46 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
                   FROM documents)
             WHERE doc_id <> keep_id
+        """,
+        "q_dedup_keep_first": """
+            SELECT doc_id, n_chars
+            FROM (SELECT doc_id, n_chars,
+                         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                            ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
+        """,
+        "q_seeded_sample": """
+            SELECT doc_id, md5('42:' || doc_id) AS r
+            FROM documents
+            ORDER BY r, doc_id
+            LIMIT 50
+        """,
+        "q_token_histogram": f"""
+            SELECT (floor(tc / 50) * 50)::BIGINT AS bin_lo, count(*) AS n_docs
+            FROM (SELECT {_TC} AS tc FROM documents)
+            GROUP BY 1
+        """,
+        "q_name_normalize": f"""
+            WITH named AS (
+              SELECT p_partkey,
+                     p_name || CASE p_partkey % 4
+                                 WHEN 0 THEN ', Inc.'
+                                 WHEN 1 THEN ' Corp'
+                                 WHEN 2 THEN ' & Co. Ltd.'
+                                 ELSE '' END AS name
+              FROM part)
+            SELECT p_partkey, name,
+                   array_to_string(
+                     list_filter(
+                       regexp_split_to_array(
+                         regexp_replace(
+                           regexp_replace(lower(name), '[\\s,]+(inc|corp|co|ltd|llc)\\.?$', ''),
+                           '[^\\w\\s]', ' ', 'g'),
+                         '\\s+'),
+                       w -> length(w) > 1 AND NOT list_contains({_SUFFIX_LIST}, w)),
+                     ' ') AS norm
+            FROM named
         """,
         "q_lang_id": f"""
             WITH s AS (

@@ -54,8 +54,10 @@ def connected_components(
     # localCheckpoint: the RDD conversion bypasses upstream DataFrame caches)
     e = edges.select("key_a", "key_b").persist()
     # path choice + small-graph fetch in a single job: take threshold+1 rows;
-    # a short result IS the full edge list, so union-find runs on it directly
-    head = e.limit(driver_threshold + 1).collect()
+    # a short result IS the full edge list, so union-find runs on it directly.
+    # toPandas (Arrow columnar transfer), not collect: Row-object pickling of
+    # ~10^5 edges is seconds of pure driver time, Arrow is milliseconds.
+    head = e.limit(driver_threshold + 1).toPandas()
     if len(head) <= driver_threshold:
         out = _driver_union_find(nodes, head, id_col)
         e.unpersist()
@@ -93,10 +95,13 @@ def connected_components(
     return comp.select(F.col("id").alias(id_col), "comp")
 
 
-def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFrame:
-    """Small-graph fast path: union-find with path compression over collected
-    (key_a, key_b) rows, broadcast the label map back as a join against the
-    node set. Works on one-directional unique pairs — union is symmetric."""
+def _driver_union_find(nodes: DataFrame, edge_pdf, id_col: str) -> DataFrame:
+    """Small-graph fast path: union-find with path compression over a pandas
+    frame of (key_a, key_b) pairs, label map shipped back via Arrow and
+    broadcast-joined against the node set. Works on one-directional unique
+    pairs — union is symmetric."""
+    import pandas as pd
+
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -107,18 +112,20 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
             parent[x], x = r, parent[x]
         return r
 
-    for row in edge_rows:
-        a, b = find(row["key_a"]), find(row["key_b"])
+    for a0, b0 in zip(edge_pdf["key_a"].to_numpy(), edge_pdf["key_b"].to_numpy()):
+        a, b = find(a0), find(b0)
         if a != b:
             # min label wins so comp == min(key) of the component
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
 
-    labels = [(k, find(k)) for k in list(parent.keys())]
     spark = nodes.sparkSession
-    if not labels:
+    if not parent:
         return nodes.select(F.col(id_col), F.col(id_col).alias("comp"))
-    lab_df = spark.createDataFrame(labels, f"{id_col} string, comp_l string")
+    keys = list(parent.keys())
+    lab_df = spark.createDataFrame(
+        pd.DataFrame({id_col: keys, "comp_l": [find(k) for k in keys]})
+    )
     return (
         nodes.select(id_col)
         .join(F.broadcast(lab_df), id_col, "left")

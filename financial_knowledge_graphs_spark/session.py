@@ -45,11 +45,30 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 32MB scan splits (not the 128MB default): the corpus ships in
+        # O(10) ~100MB files, and file-granular splits leave a 2-wave
+        # straggler tail on an 8-core run (10 tasks / 8 cores). Finer splits
+        # keep every core busy; at petabyte scale the file count dwarfs the
+        # core count and this knob stops mattering (overridable via env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle spill dir: prefer RAM-backed tmpfs when present. On a real
+    # cluster every executor brings its own local disks, so shuffle bandwidth
+    # scales with the node count; a single shared disk is a one-box artifact
+    # that caps shuffle-heavy stages regardless of core count. Overridable
+    # via SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
