@@ -179,12 +179,13 @@ def make_extract_udf(spark: SparkSession, alias_dict: DataFrame):
     ``alias_dict`` is the small dimension table (FIXTURES.md §2); collecting
     and broadcasting it is the same decision a broadcast-hash join makes.
     """
-    rows = [
-        (r["alias"], r["canonical_name"], r["ticker"], r["industry"], r["country"])
-        for r in alias_dict.select(
-            "alias", "canonical_name", "ticker", "industry", "country"
-        ).collect()
-    ]
+    # Arrow transfer + itertuples, not collect(): a web-scale alias dict is
+    # O(10^5-10^6) rows and Row-object materialization alone costs seconds
+    # of driver time before the job can start.
+    pdf = alias_dict.select(
+        "alias", "canonical_name", "ticker", "industry", "country"
+    ).toPandas()
+    rows = list(pdf.itertuples(index=False, name=None))
     bc = spark.sparkContext.broadcast(rows)
 
     @F.pandas_udf(StringType())

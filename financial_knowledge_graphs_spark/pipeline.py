@@ -145,25 +145,51 @@ def run_pipeline(
     )
     triples = triples.persist()
 
-    res.mentions = mentions.count()
-    res.triples = triples.count()
-    res.dropped_endpoint_rows = dropped.count()
+    # ---- counts + materialize, concurrently --------------------------------
+    # The tail of the pipeline is a dozen small independent jobs (metric
+    # counts, two table merges, checkpoint/lineage writes), each a short
+    # latency-bound stage chain. Submitted sequentially they serialize into
+    # tens of seconds regardless of cluster size; submitted from a thread
+    # pool they overlap (Spark's scheduler handles concurrent jobs; cache
+    # locks make shared persisted inputs compute exactly once).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- materialize (merge semantics) -------------------------------------
-    materialize.merge_upsert(spark, paths["vertices"], vertices, ["entity_id"])
-    materialize.merge_upsert(
-        spark, paths["triples"], triples,
-        ["doc_id", "subj", "pred", "obj", "valueAmount", "percentage", "transactionDate"],
-    )
+    def _count_triples():
+        # triples first (fills the ep_joined + triples caches), dropped after
+        n = triples.count()
+        return n, dropped.count()
+
+    with ThreadPoolExecutor(max_workers=4) as tp:
+        f_mentions = tp.submit(mentions.count)
+        f_triples = tp.submit(_count_triples)
+        f_mv = tp.submit(
+            materialize.merge_upsert, spark, paths["vertices"], vertices, ["entity_id"]
+        )
+        f_mt = tp.submit(
+            materialize.merge_upsert, spark, paths["triples"], triples,
+            ["doc_id", "subj", "pred", "obj", "valueAmount", "percentage", "transactionDate"],
+        )
+        res.mentions = f_mentions.result()
+        res.triples, res.dropped_endpoint_rows = f_triples.result()
+        f_mv.result()
+        f_mt.result()
 
     # ---- ops: checkpoint + lineage + metrics -------------------------------
-    ops.checkpoint_docs(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
-    ops.log_partition_lineage(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
-    ops.log_lineage(
-        cfg.run_id, "materialize",
-        input_rows=res.mentions, output_rows=res.triples,
-        dropped_rows=res.dropped_endpoint_rows,
-    )
+    def _lineage_writes():
+        # both append to the lineage dir — MUST be sequential (concurrent
+        # appends to one parquet dir share the _temporary staging path)
+        ops.log_partition_lineage(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
+        ops.log_lineage(
+            cfg.run_id, "materialize",
+            res.mentions, res.triples, res.dropped_endpoint_rows,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as tp:
+        f1 = tp.submit(
+            ops.checkpoint_docs, cfg.run_id, cfg.stage_name, extracted.select("doc_id")
+        )
+        f2 = tp.submit(_lineage_writes)
+        f1.result(); f2.result()
     res.seconds = time.time() - t0
     ops.log_metrics(
         cfg.run_id, cfg.stage_name,

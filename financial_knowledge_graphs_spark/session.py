@@ -41,7 +41,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        # AQE's post-shuffle coalescing targets BYTES (64MB default) and is
+        # core-oblivious: a 150MB shuffle collapses to ~3 tasks no matter how
+        # many cores exist, capping CPU-heavy downstream stages (parquet
+        # compression, wide sorts) far below the cluster. 8MB advisory keeps
+        # coalesced stages at >= core-count tasks for our table sizes while
+        # still folding away empty partitions.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(8 * 1024 * 1024)),
+        )
+        # Static shuffle partitions get a floor of 64 (not bare 2 x cores):
+        # AQE can only coalesce DOWN, so a low-core session would otherwise
+        # hard-cap wide shuffles (a 2-core run sorting a 2GB window shuffle
+        # in 4 giant spill-prone tasks). Same value at every parallelism
+        # level = same plan, which is what a fair N vs 4N comparison needs.
+        .config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or max(64, 2 * cores))
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
