@@ -47,6 +47,35 @@ def read_articles_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_articles_yaml(spark: SparkSession, path: str) -> DataFrame:
+    """YAML scan (SURVEY §2.1 row 3; replaces yaml.safe_load {id: text} at
+    reference src/utils/file_utils.py:237-248, :312-313). YAML is a
+    driver-side config format, not a data plane — load then parallelize."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    rows = [(str(k), str(v)) for k, v in data.items()]
+    return spark.createDataFrame(rows, "newsID string, story string")
+
+
+def read_articles_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Excel scan (SURVEY §2.1 row 2; replaces pd.read_excel at reference
+    src/utils/file_utils.py:268-269). No native Spark reader exists —
+    driver-side pandas for the tiny config-sized sheets the reference uses;
+    gated on the optional engine dependency."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path)
+    except ImportError as e:  # openpyxl/xlrd not installed in this env
+        raise NotImplementedError(
+            "Excel scan needs pandas' excel engine (openpyxl); install it or "
+            "convert the sheet to CSV and use read_articles_csv"
+        ) from e
+    return spark.createDataFrame(pdf.astype(str))
+
+
 def articles_to_documents(articles: DataFrame) -> DataFrame:
     """Reference CSV shape → the engine's interleaved-span documents table
     (one text span per article; the degenerate single-span case of the

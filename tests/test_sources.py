@@ -107,3 +107,35 @@ def test_pred_label_and_namespacing(spark):
         standardize.namespaced_id_expr("d", "l").alias("nid"),
     ).first()
     assert r["lbl"] == "ACQUIRED" and r["nid"] == "doc1_C1"
+
+
+def test_yaml_scan(spark, tmp_warehouse):
+    import os
+
+    from financial_knowledge_graphs_spark.sources.readers import read_articles_yaml
+
+    p = os.path.join(tmp_warehouse, "articles.yaml")
+    with open(p, "w") as f:
+        f.write("a1: first story text\na2: second story text\n")
+    df = read_articles_yaml(spark, p)
+    got = {r["newsID"]: r["story"] for r in df.collect()}
+    assert got == {"a1": "first story text", "a2": "second story text"}
+
+
+def test_excel_scan_gated(spark, tmp_warehouse):
+    """openpyxl absent in this container -> NotImplementedError, not a crash."""
+    import os
+
+    import pytest
+
+    from financial_knowledge_graphs_spark.sources.readers import read_articles_excel
+
+    p = os.path.join(tmp_warehouse, "articles.xlsx")
+    open(p, "wb").write(b"PK\x03\x04 not a real sheet")
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("excel engine present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(Exception):  # NotImplementedError or engine parse error
+        read_articles_excel(spark, p)
