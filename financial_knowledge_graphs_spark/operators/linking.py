@@ -88,3 +88,70 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
         .select("key_a", "key_b", jaccard.alias("jaccard"))
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-similarity linking (north-star axis: alias-dictionary +
+# embedding-similarity entity linking). Deterministic hashed character-n-gram
+# vectors — no external models, identical on every run/cluster — with cosine
+# scored entirely by Catalyst array expressions. Catches surface variants the
+# token-set predicate cannot (typos, run-together words: 'GlobalTech' vs
+# 'GlobalTec'), at the cost of a looser notion of similarity, so it is an
+# ADDITIVE edge source gated behind its own (higher) threshold.
+# ---------------------------------------------------------------------------
+
+def char_ngram_buckets_expr(col: Column | str, n: int = 3, dim: int = 64) -> Column:
+    """Hashed char-n-gram bucket ids (array<int>) of a normalized name, with
+    boundary markers. xxhash64 buckets are stable across sessions and
+    partitions, so derived vectors are reproducible anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit("^"), c, F.lit("$"))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+        lambda i: F.pmod(F.xxhash64(padded.substr(i, F.lit(n))), F.lit(dim)),
+    )
+
+
+def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
+                               n: int = 3, dim: int = 64,
+                               max_block: int = 1000) -> DataFrame:
+    """Candidate pairs (key_a < key_b, cosine) with char-n-gram cosine ≥
+    threshold. Blocking: shared hashed n-gram bucket within the same type
+    (a pair with high cosine necessarily shares buckets), block-capped like
+    every other pair join in this engine."""
+    v = keys.select(
+        "key", "type",
+        char_ngram_buckets_expr(F.col("norm"), n, dim).alias("bks"),
+    ).withColumn(
+        "vec",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.size(F.filter(F.col("bks"), lambda x: x == b)).cast("double"),
+        ),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, x: s + x * x)),
+    )
+    ex = v.select("key", "type", "vec", "nrm", F.explode(F.array_distinct("bks")).alias("bk"))
+    sizes = ex.groupBy("type", "bk").agg(F.count(F.lit(1)).alias("bs"))
+    ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), ["type", "bk"], "left_anti")
+    a = ex.select(
+        "type", "bk", F.col("key").alias("key_a"),
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = ex.select(
+        "type", "bk", F.col("key").alias("key_b"),
+        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    return (
+        a.join(b, ["type", "bk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+        .dropDuplicates(["key_a", "key_b"])
+    )

@@ -21,22 +21,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .components import connected_components
-from .linking import name_keys, similarity_edges
+from .linking import embedding_similarity_edges, name_keys, similarity_edges
 
 
-def canonical_mapping(mentions: DataFrame, max_block: int = 1000) -> DataFrame:
+def canonical_mapping(mentions: DataFrame, max_block: int = 1000,
+                      embedding_link: bool = False,
+                      embedding_threshold: float = 0.75) -> DataFrame:
     """(type, name) → canonical component + canonical entity_id.
 
     entity_id is content-addressed (sha2 of the component's min key), so
     re-runs over overlapping corpora assign stable ids — required for
     idempotent MERGE semantics.
+
+    ``embedding_link=True`` adds char-n-gram cosine edges (north-star axis:
+    alias-dictionary + embedding-similarity linking) on top of the
+    reference's containment+Jaccard predicate — catches typos/run-together
+    variants the token-set test misses. Off by default: the reference-parity
+    P/R gate is defined on the reference predicate alone.
     """
     # keys feed three consumers (edge build ×2 sides, final map join) —
     # persist + materialize once instead of re-running the mention
     # aggregation (NOT localCheckpoint: the RDD conversion bypasses any
     # upstream DataFrame cache and would re-run the extraction UDF)
     keys = name_keys(mentions).persist()
-    edges = similarity_edges(keys, max_block=max_block)
+    edges = similarity_edges(keys, max_block=max_block).select("key_a", "key_b")
+    if embedding_link:
+        edges = edges.unionByName(
+            embedding_similarity_edges(
+                keys, threshold=embedding_threshold, max_block=max_block
+            ).select("key_a", "key_b")
+        )
     comp = connected_components(keys, edges, id_col="key")
     mapped = keys.join(comp, "key", "left").withColumn(
         "comp", F.coalesce("comp", "key")  # singletons

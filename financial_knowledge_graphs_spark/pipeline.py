@@ -42,6 +42,8 @@ class PipelineConfig:
     max_block: int = 1000               # linking block cap
     stage_name: str = "extract"
     extract_partitions: int | None = None  # None = 3 x total cores
+    embedding_link: bool = False        # add char-n-gram cosine link edges
+    embedding_threshold: float = 0.75
 
 
 @dataclass
@@ -133,7 +135,11 @@ def run_pipeline(
         mention_universe = mentions.unionByName(
             prior, allowMissingColumns=True
         )
-    mapping = materialize.canonical_mapping(mention_universe, max_block=cfg.max_block)
+    mapping = materialize.canonical_mapping(
+        mention_universe, max_block=cfg.max_block,
+        embedding_link=cfg.embedding_link,
+        embedding_threshold=cfg.embedding_threshold,
+    )
     mapping = mapping.persist()
 
     # vertices feed two actions (count implicit in merge + the merge write

@@ -86,3 +86,29 @@ def test_hub_skew_mentions_collapse_before_join(spark):
     assert keys.count() == 4
     mapping = materialize.canonical_mapping(m)
     assert mapping.filter(F.col("name") == "Meridian Global Bank").select("n_mentions").first()[0] == 500
+
+
+def test_embedding_similarity_edges_catch_typos(spark):
+    from financial_knowledge_graphs_spark.operators.linking import (
+        embedding_similarity_edges,
+    )
+
+    # 'GlobalTech' vs 'GlobalTec' (dropped char): token-set Jaccard = 0
+    # (different single tokens), so the reference predicate finds nothing...
+    m = _mentions(spark, ["GlobalTech", "GlobalTec"])
+    keys = name_keys(m)
+    assert similarity_edges(keys).count() == 0
+    # ...but char-3-gram cosine links them
+    e = embedding_similarity_edges(keys, threshold=0.75)
+    assert e.count() == 1
+    # and clearly different names stay unlinked
+    m2 = _mentions(spark, ["GlobalTech", "Juniper Foods"])
+    assert embedding_similarity_edges(name_keys(m2), threshold=0.75).count() == 0
+
+
+def test_canonical_mapping_embedding_link_flag(spark):
+    m = _mentions(spark, ["GlobalTech", "GlobalTec"])
+    base = materialize.canonical_mapping(m)
+    assert base.select("entity_id").distinct().count() == 2
+    linked = materialize.canonical_mapping(m, embedding_link=True)
+    assert linked.select("entity_id").distinct().count() == 1
