@@ -102,8 +102,6 @@ def _driver_union_find(nodes: DataFrame, edge_pdf, id_col: str) -> DataFrame:
     frame of (key_a, key_b) pairs, label map shipped back via Arrow and
     broadcast-joined against the node set. Works on one-directional unique
     pairs — union is symmetric."""
-    import pandas as pd
-
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -124,12 +122,17 @@ def _driver_union_find(nodes: DataFrame, edge_pdf, id_col: str) -> DataFrame:
     spark = nodes.sparkSession
     if not parent:
         return nodes.select(F.col(id_col), F.col(id_col).alias("comp"))
-    keys = list(parent.keys())
-    lab_df = spark.createDataFrame(
-        pd.DataFrame({id_col: keys, "comp_l": [find(k) for k in keys]})
-    )
-    return (
-        nodes.select(id_col)
-        .join(F.broadcast(lab_df), id_col, "left")
-        .select(F.col(id_col), F.coalesce("comp_l", F.col(id_col)).alias("comp"))
-    )
+    labels = {k: find(k) for k in list(parent.keys())}
+    # Ship the label map as a broadcast VARIABLE consumed by a vectorized
+    # UDF, not a DataFrame broadcast join: at O(10^5) labels the
+    # createDataFrame + broadcast-exchange + join adds three driver-gated
+    # jobs, while the UDF fuses label lookup into whatever stage consumes
+    # the result (zero extra jobs, zero shuffles).
+    bc = spark.sparkContext.broadcast(labels)
+
+    def _label(s):
+        mapped = s.map(bc.value)
+        return mapped.where(mapped.notna(), s)
+
+    label_of = F.pandas_udf(_label, "string")
+    return nodes.select(F.col(id_col), label_of(F.col(id_col)).alias("comp"))

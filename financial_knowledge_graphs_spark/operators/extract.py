@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 from typing import Any, Iterator
 
 import pandas as pd
@@ -49,6 +50,9 @@ _MERGE_TAIL = re.compile(r"^(?: on (\d{4}-\d{2}(?:-\d{2})?))?\.")
 _DEBT_TAIL = re.compile(r"^, holding notes worth \$(\d+(?:\.\d+)?) (million|billion)\.")
 
 _UNIT = {"million": 1e6, "billion": 1e9}
+
+# per-worker-process gazetteer memo, keyed by broadcast id (see extract_udf)
+_GAZ_CACHE: dict = {}
 
 
 class Gazetteer:
@@ -187,10 +191,17 @@ def make_extract_udf(spark: SparkSession, alias_dict: DataFrame):
     ).toPandas()
     rows = list(pdf.itertuples(index=False, name=None))
     bc = spark.sparkContext.broadcast(rows)
+    bid = uuid.uuid4().hex  # cache key fixed at closure creation (one per udf)
 
     @F.pandas_udf(StringType())
     def extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        gaz = Gazetteer(bc.value)  # built once per task, reused across batches
+        # memoized per worker PROCESS (not per task): _GAZ_CACHE is a
+        # module-level name, so cloudpickle references it through the module
+        # import — one dict per worker; with worker reuse the index for a
+        # 10^5-row alias dict is built once per core, not once per task
+        gaz = _GAZ_CACHE.get(bid)
+        if gaz is None:
+            gaz = _GAZ_CACHE[bid] = Gazetteer(bc.value)
         for stories in batches:
             yield pd.Series(
                 [
