@@ -17,6 +17,10 @@ reference src/db/neo4j_handler.py:100-134) with a blocked similarity join:
    block exceeds ``max_block`` names are dropped from blocking — any pair
    that satisfies Jaccard > 0.5 on ≤3-token names shares a rarer token too,
    and longer names lose at most marginal recall (logged, not silent).
+
+The shape (token blocking + oversized-block purging before a pair-wise
+verify) is the standard distributed entity-resolution design — cf. SparkER
+(EDBT 2019), whose block-purging step this max_block cap mirrors.
 """
 
 from __future__ import annotations
