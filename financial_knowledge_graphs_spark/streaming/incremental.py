@@ -66,3 +66,109 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_windowed_mention_rates(
+    spark: SparkSession,
+    docs_dir: str,
+    alias_dict: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    window_length: str = "1 hour",
+):
+    """Watermarked, windowed mention-rate aggregation over a document stream.
+
+    Docs arrive with an ``event_ts`` column (publication time); mentions are
+    extracted per micro-batch and counted per (company, event-time window).
+    The watermark bounds state: rows later than ``watermark`` behind the max
+    observed event time are dropped, so state size is O(active windows), not
+    O(stream length) — the standard late-data contract a 10^12-doc stream
+    needs. Output mode append: a window's counts are emitted once, when the
+    watermark passes its end.
+    """
+    schema = schemas.DOCUMENTS.add("event_ts", "timestamp")
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_dir)
+    udf = extract.make_extract_udf(spark, alias_dict)
+    withs = prep.with_story(stream)
+    ext = extract.run_extraction(withs, udf)
+    mentions = ext.select(
+        "event_ts", F.explode("extraction.entities").alias("ent")
+    ).select("event_ts", F.col("ent.attributes.companyName").alias("company"))
+    agg = (
+        mentions.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_length).alias("w"), "company")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "company", "n_mentions",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_running_company_counts(
+    spark: SparkSession,
+    docs_dir: str,
+    alias_dict: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: cumulative
+    per-company mention counts across micro-batches.
+
+    State (one row per company) survives between triggers through Spark's
+    state store — restarting the query from the same checkpoint continues
+    the running totals instead of recounting. This is the building block
+    for incremental vertex statistics (mention counts feed the
+    representative-surface choice in build_vertices) without re-scanning
+    history.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schemas.DOCUMENTS).format("parquet").load(docs_dir)
+    udf = extract.make_extract_udf(spark, alias_dict)
+    ext = extract.run_extraction(prep.with_story(stream), udf)
+    mentions = ext.select(F.explode("extraction.entities").alias("ent")).select(
+        F.col("ent.attributes.companyName").alias("company")
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        new = 0
+        for pdf in pdfs:
+            new += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += new
+        state.update((total,))
+        yield pd.DataFrame({"company": [key[0]], "total_mentions": [total]})
+
+    counts = mentions.groupBy("company").applyInPandasWithState(
+        update,
+        outputStructType="company string, total_mentions long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

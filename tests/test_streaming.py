@@ -35,3 +35,86 @@ def test_available_now_incremental(spark, tmp_warehouse):
     assert n2 > n1
     # no doc processed twice
     assert all_rows.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_watermarked_windowed_mention_rates(spark, tmp_warehouse):
+    from financial_knowledge_graphs_spark.streaming.incremental import (
+        stream_windowed_mention_rates,
+    )
+
+    docs_dir = os.path.join(tmp_warehouse, "wdocs")
+    out_dir = os.path.join(tmp_warehouse, "wout")
+    cp_dir = os.path.join(tmp_warehouse, "wcp")
+
+    corpus = fixtures.corpus_df(spark, n_docs=40, seed=42)
+    docs = fixtures.documents_df(corpus)
+    alias = fixtures.alias_dict_df(spark, 20, 42)
+    # event time: first 20 docs in the 10:00 window, rest at 12:05 so the
+    # watermark (12:05 - 10min = 11:55) passes the 10:00-11:00 window only
+    with_ts = docs.withColumn(
+        "event_ts",
+        F.when(F.col("doc_id") < "doc_00000020",
+               F.lit("2026-01-01 10:15:00")).otherwise(
+               F.lit("2026-01-01 12:05:00")).cast("timestamp"),
+    )
+    with_ts.write.mode("append").parquet(docs_dir)
+
+    q = stream_windowed_mention_rates(spark, docs_dir, alias, out_dir, cp_dir)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    # only the closed 10:00 window is emitted (12:00 window end > watermark)
+    assert got.select("window_start").distinct().count() == 1
+    assert got.first()["window_start"].hour == 10
+
+    # values match the batch computation over the same closed window
+    from financial_knowledge_graphs_spark.operators import extract, prep
+    udf = extract.make_extract_udf(spark, alias)
+    batch = extract.run_extraction(
+        prep.with_story(with_ts.filter(F.col("event_ts") < "2026-01-01 11:00:00")), udf
+    ).select(F.explode("extraction.entities").alias("ent")).groupBy(
+        F.col("ent.attributes.companyName").alias("company")
+    ).count()
+    want = {r["company"]: r["count"] for r in batch.collect()}
+    have = {r["company"]: r["n_mentions"] for r in got.collect()}
+    assert have == want
+
+
+def test_stateful_running_counts_across_restart(spark, tmp_warehouse):
+    from financial_knowledge_graphs_spark.streaming.incremental import (
+        stream_running_company_counts,
+    )
+
+    docs_dir = os.path.join(tmp_warehouse, "sdocs")
+    out_dir = os.path.join(tmp_warehouse, "sout")
+    cp_dir = os.path.join(tmp_warehouse, "scp")
+
+    corpus = fixtures.corpus_df(spark, n_docs=40, seed=42)
+    docs = fixtures.documents_df(corpus)
+    alias = fixtures.alias_dict_df(spark, 20, 42)
+
+    docs.filter(F.col("doc_id") < "doc_00000020").write.mode("append").parquet(docs_dir)
+    q = stream_running_company_counts(spark, docs_dir, alias, out_dir, cp_dir)
+    q.awaitTermination(180)
+
+    docs.filter(F.col("doc_id") >= "doc_00000020").write.mode("append").parquet(docs_dir)
+    q2 = stream_running_company_counts(spark, docs_dir, alias, out_dir, cp_dir)
+    q2.awaitTermination(180)
+
+    # latest state row per company == full-batch mention counts (state
+    # survived the restart; second run only added the increment)
+    from financial_knowledge_graphs_spark.operators import extract, prep
+    udf = extract.make_extract_udf(spark, alias)
+    batch = extract.run_extraction(prep.with_story(docs), udf).select(
+        F.explode("extraction.entities").alias("ent")
+    ).groupBy(F.col("ent.attributes.companyName").alias("company")).count()
+    want = {r["company"]: r["count"] for r in batch.collect()}
+
+    out = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+    w = Window.partitionBy("company").orderBy(F.desc("batch_id"))
+    latest = (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    have = {r["company"]: r["total_mentions"] for r in latest.collect()}
+    assert have == want
