@@ -39,8 +39,22 @@ def test_pipeline_end_to_end_quality_gate(spark, small_corpus, tmp_warehouse):
     import os
     ops = OpsStore(spark, os.path.join(tmp_warehouse, "ops"))
     assert ops.read("checkpoints").count() == res.docs_processed
-    assert ops.read("lineage").count() > 0
     assert ops.read("metrics").filter(F.col("name") == "docs_per_sec").count() == 1
+
+    # per-partition lineage COVERS every partition that produced docs
+    # (north rule: per-partition lineage), and the counts reconcile
+    lineage = ops.read("lineage")
+    per_part = lineage.filter(F.col("partition_id") >= 0)
+    cp_parts = {
+        r["partition_id"]
+        for r in ops.read("checkpoints").select("partition_id").distinct().collect()
+    }
+    ln_parts = {
+        r["partition_id"] for r in per_part.select("partition_id").distinct().collect()
+    }
+    assert cp_parts == ln_parts and len(ln_parts) > 0
+    total = per_part.agg(F.sum("output_rows")).first()[0]
+    assert total == res.docs_processed
 
 
 def test_partial_plus_resume_equals_single_run(spark, small_corpus, tmp_warehouse):
