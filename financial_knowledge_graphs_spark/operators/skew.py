@@ -1,0 +1,54 @@
+"""Skew-aware join utilities (north-star axis: salted keys for hub entities).
+
+Where skew is handled in this engine, in order of preference:
+
+1. **Collapse before joining** — mentions dedupe to DISTINCT (type, name)
+   surface keys before any similarity join (linking.py), so a bank appearing
+   in 30% of documents contributes a handful of rows, not 10^11.
+2. **Broadcast the small side** — the canonical mapping table is tiny
+   relative to mentions; Catalyst broadcasts it and no shuffle (hence no
+   skew) exists at all.
+3. **AQE skew-join** — `spark.sql.adaptive.skewJoin.enabled` splits
+   oversized shuffle partitions at runtime for any join that does shuffle.
+4. **Explicit salting (this module)** — the regime where none of the above
+   apply: both sides too big to broadcast AND the hot keys are so heavy that
+   even AQE's split granularity leaves stragglers (e.g. joining raw mentions
+   of 10^12 docs against a 10^8-row mapping on (type, name) where one bank
+   holds billions of rows). Salting bounds the per-task row count
+   deterministically at plan time.
+
+``salted_join``: the skewed (big) side gets a uniform random-ish salt in
+[0, salt); the small-but-unbroadcastable side is replicated salt times via
+``explode``; the join key becomes (keys..., salt). Row multiplicity is
+unchanged — each big-side row matches exactly the one replica with its salt.
+Salt is derived from a hash of the row's whole key tuple plus a per-row
+monotonic id, so it needs no extra column and is deterministic per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``keys`` with the big side salted into
+    ``salt`` sub-partitions per key.
+
+    Correctness: every big row carries one salt value s; the small side is
+    replicated once per salt value, so (keys..., s) matches exactly one
+    replica — the result multiset equals the unsalted join. The shuffle key
+    (keys..., salt) spreads a hot key over ``salt`` reducers.
+    """
+    big_s = big.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+               F.lit(salt)).cast("int"),
+    )
+    small_s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)
