@@ -36,18 +36,20 @@ from .. import schemas
 
 _WORD = re.compile(r"\S+")
 
-# connector patterns: matched immediately after a mention's end; each must be
-# followed by a second mention, then the (anchored) attribute tail.
-_ACQUIRED = re.compile(r"^ acquired ")
-_MERGED = re.compile(r"^ merged with ")
-_EQUITY = re.compile(r"^ holds a (\d+(?:\.\d+)?)% equity stake in ")
-_DEBT = re.compile(r"^ is a debt holder of ")
+# connector patterns: matched immediately after a mention's end via
+# pattern.match(text, pos) — position-anchored, so the multi-KB story is
+# never sliced per mention; each must be followed by a second mention, then
+# the (position-anchored) attribute tail.
+_ACQUIRED = re.compile(r" acquired ")
+_MERGED = re.compile(r" merged with ")
+_EQUITY = re.compile(r" holds a (\d+(?:\.\d+)?)% equity stake in ")
+_DEBT = re.compile(r" is a debt holder of ")
 
 _MONEY_TAIL = re.compile(
-    r"^ for \$(\d+(?:\.\d+)?) (million|billion)(?: on (\d{4}-\d{2}(?:-\d{2})?))?\."
+    r" for \$(\d+(?:\.\d+)?) (million|billion)(?: on (\d{4}-\d{2}(?:-\d{2})?))?\."
 )
-_MERGE_TAIL = re.compile(r"^(?: on (\d{4}-\d{2}(?:-\d{2})?))?\.")
-_DEBT_TAIL = re.compile(r"^, holding notes worth \$(\d+(?:\.\d+)?) (million|billion)\.")
+_MERGE_TAIL = re.compile(r"(?: on (\d{4}-\d{2}(?:-\d{2})?))?\.")
+_DEBT_TAIL = re.compile(r", holding notes worth \$(\d+(?:\.\d+)?) (million|billion)\.")
 
 _UNIT = {"million": 1e6, "billion": 1e9}
 
@@ -95,7 +97,7 @@ class Gazetteer:
                 continue
             for alias, rec in cands:
                 end = start + len(alias)
-                if end <= n and text[start:end] == alias:
+                if end <= n and text.startswith(alias, start):
                     # boundary: next char must not be a word char
                     if end == n or not (text[end].isalnum() or text[end] == "_"):
                         out.append((start, end, alias, rec))
@@ -146,30 +148,28 @@ def extract_document(text: str, gaz: Gazetteer) -> dict[str, Any]:
         )
 
     for i, (s1, e1, _surf1, rec1) in enumerate(mentions):
-        rest = text[e1:]
         for conn, kind in ((_ACQUIRED, "acquired"), (_MERGED, "mergedWith"),
                            (_EQUITY, "hasEquityStakeIn"), (_DEBT, "hasDebtHolder")):
-            cm = conn.match(rest)
+            cm = conn.match(text, e1)
             if not cm:
                 continue
-            j = start_of.get(e1 + cm.end())
+            j = start_of.get(cm.end())
             if j is None:
                 break
             s2, e2, _surf2, rec2 = mentions[j]
-            tail = text[e2:]
             if kind == "acquired":
-                tm = _MONEY_TAIL.match(tail)
+                tm = _MONEY_TAIL.match(text, e2)
                 if tm:
                     add_rel("acquired", rec1, rec2,
                             float(tm.group(1)) * _UNIT[tm.group(2)], None, tm.group(3))
             elif kind == "mergedWith":
-                tm = _MERGE_TAIL.match(tail)
+                tm = _MERGE_TAIL.match(text, e2)
                 if tm:
                     add_rel("mergedWith", rec1, rec2, None, None, tm.group(1))
             elif kind == "hasEquityStakeIn":
                 add_rel("hasEquityStakeIn", rec1, rec2, None, float(cm.group(1)), None)
             else:  # "B is a debt holder of A" => (A, hasDebtHolder, B)
-                tm = _DEBT_TAIL.match(tail)
+                tm = _DEBT_TAIL.match(text, e2)
                 if tm:
                     add_rel("hasDebtHolder", rec2, rec1,
                             float(tm.group(1)) * _UNIT[tm.group(2)], None, None)
