@@ -55,3 +55,29 @@ def test_token_sort_ratio_order_insensitive():
     assert token_sort_ratio("global bank", "global bank corp") < 100.0
     a = token_sort_ratio("meridian global bank", "global meridian bank")
     assert a == 100.0
+
+
+def test_property_spark_expr_matches_python_twin_on_random_strings(spark):
+    """Property check: the Catalyst normalization expression and the pure-
+    Python reference twin agree on arbitrary printable-ASCII names (the twin
+    is itself asserted against reference examples above)."""
+    import random
+    import string
+
+    rnd = random.Random(1234)
+    alphabet = string.ascii_letters + string.digits + " .,&-'()/:;$%"
+    suffixes = ["", " Inc.", ", Inc", " Corp", " Co.", " Ltd", " llc",
+                " Group", " Holdings", " co", "  ", " a", " AB"]
+    names = []
+    for _ in range(300):
+        n_words = rnd.randint(1, 5)
+        words = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 10)))
+                 for _ in range(n_words)]
+        names.append(" ".join(words) + rnd.choice(suffixes))
+    names += ["", " ", "a", "AB", "x.y.z", "...", "&&&", "ab, inc."]
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r["name"]: r["norm"] for r in df.select(
+        "name", normalize_name_expr("name").alias("norm")).collect()}
+    for n in names:
+        assert got[n] == normalize_name_py(n), repr(n)
