@@ -164,12 +164,23 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     import os
     import shutil
 
+    from functools import reduce
+
     dedup = updates.dropDuplicates(keys)
     if os.path.isdir(table_path) and dedup.limit(1).count() == 0:
         return  # nothing to merge; don't churn the table (snapshot no-op)
     if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path)
-        merged = existing.join(dedup.select(*keys).distinct(), keys, "left_anti").unionByName(dedup)
+        existing = spark.read.parquet(table_path).alias("t")
+        upd_keys = dedup.select(*keys).distinct().alias("s")
+        # NULL-SAFE key equality: merge keys include nullable columns
+        # (percentage / transactionDate on triples); a plain anti-join's
+        # NULL != NULL would let an identical re-merged row survive and
+        # duplicate — exactly the crash-replay case MERGE must absorb.
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        )
+        merged = existing.join(upd_keys, cond, "left_anti").unionByName(dedup)
         tmp = table_path + "__tmp"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(table_path)

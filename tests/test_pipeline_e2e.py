@@ -97,3 +97,32 @@ def test_full_evaluator_on_pipeline_output(spark, small_corpus, tmp_warehouse):
     assert m["relationship_precision"] >= 0.95, m
     assert m["relationship_recall"] >= 0.95, m
     assert m["overall_f1"] >= 0.95, m
+
+
+def test_crash_between_materialize_and_checkpoint_converges(spark, small_corpus, tmp_warehouse):
+    """Kill-mid-run semantics, deterministically: the riskiest crash window
+    is after the graph tables were merged but before the docs were
+    checkpointed (simulated by deleting the checkpoint table). The rerun
+    re-processes everything; because merge_upsert is keyed-idempotent, the
+    final tables equal a clean single run."""
+    import os
+    import shutil
+    import tempfile
+
+    docs, alias = _docs_alias(spark, small_corpus)
+    run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
+    # simulate crash: ops state lost after the merge landed
+    shutil.rmtree(os.path.join(tmp_warehouse, "ops", "checkpoints"))
+    res2 = run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
+    assert res2.docs_processed > 0  # really did re-run
+
+    clean_wh = tempfile.mkdtemp(prefix="fkg_clean_")
+    try:
+        run_pipeline(spark, docs, alias, PipelineConfig(warehouse=clean_wh))
+        got = spark.read.parquet(graph_paths(tmp_warehouse)["triples"])
+        want = spark.read.parquet(graph_paths(clean_wh)["triples"])
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(clean_wh, ignore_errors=True)
