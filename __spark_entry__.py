@@ -105,16 +105,81 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.7 row 51: token-distribution stats per language."""
+    """SURVEY §2.7 row 51: token-distribution stats per language.
+
+    avg is computed as exact-long sum / count (NOT F.avg: Spark's avg over
+    longs accumulates in double with order-dependent last-ulp error, while
+    DuckDB sums exactly — the round-1 hash mismatch)."""
     from financial_knowledge_graphs_spark.operators.text import token_count_expr
 
     d = _t(spark, sf_dir, "documents").withColumn("tc", token_count_expr("text").cast("long"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("tc"), 6).alias("avg_tokens"),
+        F.round(F.sum("tc") / F.count(F.lit(1)), 6).alias("avg_tokens"),
         F.min("tc").alias("min_tokens"),
         F.max("tc").alias("max_tokens"),
         F.sum("tc").alias("sum_tokens"),
+    )
+
+
+def q_token_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 row 51 (full): the reference's token-distribution summary
+    (reference src/utils/data_processing.py:165-233) — approx tokens =
+    int(words * 1.3) + 10, then mean / median / min / max / POPULATION std /
+    10th / 90th percentiles over the corpus. Exact percentiles (np.percentile
+    linear interpolation == Spark `percentile` == DuckDB quantile_cont);
+    std derived from exact long sums so both engines run the identical
+    double-arithmetic expression."""
+    from financial_knowledge_graphs_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "tc", (F.floor(token_count_expr("text") * 1.3) + 10).cast("long")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tc").alias("s"),
+        F.sum(F.col("tc") * F.col("tc")).alias("s2"),
+        F.min("tc").alias("min_tokens"),
+        F.max("tc").alias("max_tokens"),
+        F.expr("percentile(tc, array(0.1D, 0.5D, 0.9D))").alias("pct"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_tokens"),
+        F.round(F.col("pct")[1], 6).alias("median_tokens"),
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.sqrt((F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")), 6
+        ).alias("std_tokens"),
+        F.round(F.col("pct")[0], 6).alias("p10_tokens"),
+        F.round(F.col("pct")[2], 6).alias("p90_tokens"),
+    )
+
+
+def q_token_hist_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped token histogram (reference data_processing.py:189 —
+    plt.hist with fixed-range bins): explicit [lo, hi) edges, out-of-range
+    values DROPPED, right edge of the LAST bin inclusive. The reference uses
+    range(200, 2200, 100) for real news articles; the testdata docs are
+    shorter, so the range is scaled to [0, 200) step 25 — same semantics."""
+    from financial_knowledge_graphs_spark.operators.text import token_count_expr
+
+    lo, hi, width = 0, 200, 25
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "tc", (F.floor(token_count_expr("text") * 1.3) + 10).cast("long")
+    )
+    return (
+        d.filter((F.col("tc") >= lo) & (F.col("tc") <= hi))
+        .withColumn(
+            "bin_lo",
+            F.least(
+                F.lit(hi - width),
+                (F.floor((F.col("tc") - lo) / width) * width + lo),
+            ).cast("long"),
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
@@ -388,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked (testdata)
         "q_quality_filter": q_quality_filter,
         "q_token_stats": q_token_stats,
+        "q_token_dist": q_token_dist,
+        "q_token_hist_ref": q_token_hist_ref,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep_first": q_dedup_keep_first,
         "q_seeded_sample": q_seeded_sample,
@@ -460,12 +527,40 @@ def oracle_sql() -> dict[str, str]:
         "q_token_stats": f"""
             SELECT lang,
                    count(*) AS n_docs,
-                   round(avg(tc), 6) AS avg_tokens,
+                   round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS avg_tokens,
                    min(tc) AS min_tokens,
                    max(tc) AS max_tokens,
                    sum(tc) AS sum_tokens
             FROM (SELECT lang, {_TC} AS tc FROM documents)
             GROUP BY lang
+        """,
+        "q_token_dist": f"""
+            WITH t AS (SELECT (floor({_TC} * 1.3) + 10)::BIGINT AS tc FROM documents),
+            a AS (SELECT count(*) AS n,
+                         sum(tc) AS s,
+                         sum(tc * tc) AS s2,
+                         min(tc) AS min_tokens,
+                         max(tc) AS max_tokens,
+                         quantile_cont(tc, 0.1) AS p10,
+                         quantile_cont(tc, 0.5) AS p50,
+                         quantile_cont(tc, 0.9) AS p90
+                  FROM t)
+            SELECT n AS n_docs,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean_tokens,
+                   round(p50, 6) AS median_tokens,
+                   min_tokens,
+                   max_tokens,
+                   round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6) AS std_tokens,
+                   round(p10, 6) AS p10_tokens,
+                   round(p90, 6) AS p90_tokens
+            FROM a
+        """,
+        "q_token_hist_ref": f"""
+            SELECT least(175, (floor(tc / 25) * 25))::BIGINT AS bin_lo,
+                   count(*) AS n_docs
+            FROM (SELECT (floor({_TC} * 1.3) + 10)::BIGINT AS tc FROM documents)
+            WHERE tc BETWEEN 0 AND 200
+            GROUP BY 1
         """,
         "q_dedup_exact": """
             SELECT doc_id AS dup_id, keep_id
