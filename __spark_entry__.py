@@ -75,8 +75,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: acquisitions ledger — all 'acquired' edges with value,
     aggregated by acquirer, from the end-to-end KG pipeline output."""
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
     root = ensure_fixture(spark, 200)
-    triples = spark.read.parquet(os.path.join(root, "warehouse", "graph", "triples"))
+    triples = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
     return (
         triples.filter(F.col("pred") == "acquired")
         .groupBy(F.col("subj_name").alias("acquirer"))
@@ -372,16 +374,20 @@ def q_orders_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline output: canonical (subj, pred, obj) triples."""
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
     root = ensure_fixture(spark, _kg_n_docs(sf_dir))
-    return spark.read.parquet(os.path.join(root, "warehouse", "graph", "triples")).select(
+    return read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples")).select(
         "doc_id", "subj", "pred", "obj", "subj_name", "obj_name",
         "valueAmount", "percentage", "transactionDate",
     )
 
 
 def kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
     root = ensure_fixture(spark, _kg_n_docs(sf_dir))
-    return spark.read.parquet(os.path.join(root, "warehouse", "graph", "vertices"))
+    return read_graph_table(spark, os.path.join(root, "warehouse", "graph", "vertices"))
 
 
 def kg_story_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,38 +152,187 @@ def build_triples(raw_triples: DataFrame, mentions: DataFrame,
     return triples, dropped, joined
 
 
-def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
-                 keys: list[str]) -> None:
-    """Idempotent upsert: new rows win on key collision (MERGE INTO ...
-    WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT). Parquet emulation:
-    anti-join survivors ∪ updates, written to a fresh directory then swapped.
+# ---------------------------------------------------------------------------
+# Partition-scoped idempotent upsert (parquet emulation of Iceberg MERGE INTO)
+#
+# Layout: table_path/bucket=<id>/v_<n>/<parquet files> + a CURRENT pointer
+# file per bucket naming the live version dir. A merge rewrites ONLY the
+# buckets its update keys hash into — an incremental batch touching 0.1% of
+# keys rewrites ~0.1% of a 100 TB table, not all of it. The swap is a
+# single atomic os.replace of the pointer file (POSIX rename atomicity), so
+# a crash at any instant leaves every bucket readable at either the old or
+# the new version — never a missing table (the round-1 rmtree+rename window).
+#
+# On Iceberg this whole section becomes one ``MERGE INTO`` statement over a
+# ``bucket(N, key)``-partitioned table; the layout here mirrors exactly the
+# metadata Iceberg keeps (manifest per partition + snapshot pointer).
+# ---------------------------------------------------------------------------
 
-    On Iceberg this function body becomes a single ``MERGE INTO`` statement;
-    the staged-swap exists only because plain parquet has no row-level ops.
+DEFAULT_MERGE_BUCKETS = 32  # one-box default; a real deployment sizes this
+                            # so a bucket ~ a few GB (e.g. 4096 at 100 TB)
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    # deterministic over nullable keys: xxhash64 folds NULL as a no-op but
+    # stays a pure function of the key tuple
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _bucket_dirs(table_path: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(table_path):
+        return []
+    return sorted(
+        d for d in os.listdir(table_path)
+        if d.startswith("bucket=") and os.path.isdir(os.path.join(table_path, d))
+    )
+
+
+def _current_version(bucket_dir: str) -> str | None:
+    import os
+
+    ptr = os.path.join(bucket_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    return v or None
+
+
+def _set_current(bucket_dir: str, version: str) -> None:
+    """Atomic pointer swap: write a temp file, os.replace onto CURRENT."""
+    import os
+
+    tmp = os.path.join(bucket_dir, ".CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(bucket_dir, "CURRENT"))
+
+
+def table_exists(table_path: str) -> bool:
+    import os
+
+    return os.path.isdir(table_path) and (
+        bool(_bucket_dirs(table_path)) or any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
+        )
+    )
+
+
+def read_graph_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a bucketed graph table by resolving each bucket's CURRENT
+    pointer (snapshot-consistent view). Falls back to a plain parquet read
+    for legacy flat directories."""
+    import os
+
+    buckets = _bucket_dirs(table_path)
+    if not buckets:
+        return spark.read.parquet(table_path)
+    paths = []
+    for b in buckets:
+        bdir = os.path.join(table_path, b)
+        v = _current_version(bdir)
+        if v is not None and os.path.isdir(os.path.join(bdir, v)):
+            paths.append(os.path.join(bdir, v))
+    return spark.read.parquet(*paths)
+
+
+def truncate_table(table_path: str) -> None:
+    """Drop all rows (SURVEY §2.6 row 44) — the reference's detach-delete
+    teardown (reference src/db/neo4j_handler.py:356-360). Removing the
+    directory is the parquet emulation of Iceberg ``TRUNCATE TABLE``."""
+    import shutil
+
+    shutil.rmtree(table_path, ignore_errors=True)
+
+
+def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
+                 keys: list[str], n_buckets: int = DEFAULT_MERGE_BUCKETS) -> None:
+    """Idempotent keyed upsert: new rows win on key collision (MERGE INTO ...
+    WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT), rewriting only the
+    hash-buckets the update keys land in. See the section comment above for
+    the crash-atomicity story.
     """
     import os
     import shutil
 
     from functools import reduce
 
-    dedup = updates.dropDuplicates(keys)
-    if os.path.isdir(table_path) and dedup.limit(1).count() == 0:
+    dedup = updates.dropDuplicates(keys).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+    exists = table_exists(table_path)
+    if exists and dedup.limit(1).count() == 0:
         return  # nothing to merge; don't churn the table (snapshot no-op)
-    if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path).alias("t")
-        upd_keys = dedup.select(*keys).distinct().alias("s")
-        # NULL-SAFE key equality: merge keys include nullable columns
-        # (percentage / transactionDate on triples); a plain anti-join's
-        # NULL != NULL would let an identical re-merged row survive and
-        # duplicate — exactly the crash-replay case MERGE must absorb.
-        cond = reduce(
-            lambda a, b: a & b,
-            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+
+    staging = table_path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    if exists:
+        touched = sorted(
+            r["__bucket"] for r in dedup.select("__bucket").distinct().collect()
         )
-        merged = existing.join(upd_keys, cond, "left_anti").unionByName(dedup)
-        tmp = table_path + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(table_path)
-        os.rename(tmp, table_path)
+        # read ONLY the touched buckets' live versions (legacy flat dirs
+        # degrade to a full read + full re-bucket, a one-time migration)
+        bucket_dirs = _bucket_dirs(table_path)
+        if bucket_dirs:
+            paths = []
+            for b in touched:
+                bdir = os.path.join(table_path, f"bucket={b}")
+                v = _current_version(bdir)
+                if v is not None and os.path.isdir(os.path.join(bdir, v)):
+                    paths.append(os.path.join(bdir, v))
+            existing = (
+                spark.read.parquet(*paths).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+                if paths else None
+            )
+        else:
+            touched = list(range(n_buckets))  # migrate: rewrite everything once
+            existing = spark.read.parquet(table_path).withColumn(
+                "__bucket", _bucket_expr(keys, n_buckets)
+            )
+        if existing is not None:
+            upd_keys = dedup.select(*keys).distinct().alias("s")
+            # NULL-SAFE key equality: merge keys include nullable columns
+            # (percentage / transactionDate on triples); a plain anti-join's
+            # NULL != NULL would let an identical re-merged row survive and
+            # duplicate — exactly the crash-replay case MERGE must absorb.
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+            )
+            merged = existing.alias("t").join(upd_keys, cond, "left_anti").unionByName(dedup)
+        else:
+            merged = dedup
     else:
-        dedup.write.mode("overwrite").parquet(table_path)
+        touched = None  # first write: install every bucket present in updates
+        merged = dedup
+
+    merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+
+    migrated_flat = exists and not _bucket_dirs(table_path)
+    # install: move each staged bucket dir to a fresh version, swap pointer
+    staged = [
+        d for d in os.listdir(staging)
+        if d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))
+    ]
+    for d in staged:
+        b = int(d.split("=", 1)[1])
+        if touched is not None and b not in touched:
+            continue  # defensive; staged buckets always ⊆ touched ∪ first-write
+        bdir = os.path.join(table_path, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        cur = _current_version(bdir)
+        nxt = f"v_{(int(cur[2:]) + 1) if cur else 1:07d}"
+        os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
+        _set_current(bdir, nxt)
+        if cur and os.path.isdir(os.path.join(bdir, cur)):
+            shutil.rmtree(os.path.join(bdir, cur), ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    if migrated_flat:
+        # one-time cleanup: drop the legacy flat files now fully re-bucketed
+        for f in os.listdir(table_path):
+            fp = os.path.join(table_path, f)
+            if os.path.isfile(fp):
+                os.remove(fp)

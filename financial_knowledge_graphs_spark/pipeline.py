@@ -122,11 +122,11 @@ def run_pipeline(
     # ---- global canonicalization ------------------------------------------
     paths = graph_paths(cfg.warehouse)
     mention_universe = mentions
-    if os.path.isdir(paths["vertices"]):
+    if materialize.table_exists(paths["vertices"]):
         # fold previously-materialized surfaces into the linking graph so new
         # aliases merge with existing canonical entities (insert-time
         # disambiguation semantics, reference neo4j_handler.py:70-134)
-        prior = spark.read.parquet(paths["vertices"]).select(
+        prior = materialize.read_graph_table(spark, paths["vertices"]).select(
             "type", "name",
             F.lit(None).cast("string").alias("doc_id"),
             F.lit(None).cast("string").alias("local_id"),

@@ -5,7 +5,7 @@ quality gate P/R ≥ 0.95 through the full evaluator."""
 import pyspark.sql.functions as F
 
 from financial_knowledge_graphs_spark import fixtures
-from financial_knowledge_graphs_spark.operators import evaluate
+from financial_knowledge_graphs_spark.operators import evaluate, materialize
 from financial_knowledge_graphs_spark.pipeline import (
     PipelineConfig,
     graph_paths,
@@ -25,7 +25,7 @@ def test_pipeline_end_to_end_quality_gate(spark, small_corpus, tmp_warehouse):
     res = run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
     assert res.docs_processed > 0 and res.triples > 0
 
-    triples = spark.read.parquet(graph_paths(tmp_warehouse)["triples"])
+    triples = materialize.read_graph_table(spark, graph_paths(tmp_warehouse)["triples"])
     pred = triples.select(
         "doc_id", F.col("subj_name").alias("subj"), "pred", F.col("obj_name").alias("obj")
     )
@@ -68,8 +68,8 @@ def test_partial_plus_resume_equals_single_run(spark, small_corpus, tmp_warehous
     try:
         run_pipeline(spark, docs, alias, PipelineConfig(warehouse=single))
         key = ["doc_id", "subj_name", "pred", "obj_name"]
-        a = spark.read.parquet(graph_paths(tmp_warehouse)["triples"]).select(*key)
-        b = spark.read.parquet(graph_paths(single)["triples"]).select(*key)
+        a = materialize.read_graph_table(spark, graph_paths(tmp_warehouse)["triples"]).select(*key)
+        b = materialize.read_graph_table(spark, graph_paths(single)["triples"]).select(*key)
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
     finally:
@@ -119,8 +119,8 @@ def test_crash_between_materialize_and_checkpoint_converges(spark, small_corpus,
     clean_wh = tempfile.mkdtemp(prefix="fkg_clean_")
     try:
         run_pipeline(spark, docs, alias, PipelineConfig(warehouse=clean_wh))
-        got = spark.read.parquet(graph_paths(tmp_warehouse)["triples"])
-        want = spark.read.parquet(graph_paths(clean_wh)["triples"])
+        got = materialize.read_graph_table(spark, graph_paths(tmp_warehouse)["triples"])
+        want = materialize.read_graph_table(spark, graph_paths(clean_wh)["triples"])
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
