@@ -43,7 +43,14 @@ def ensure_fixture(spark: SparkSession, n_docs: int, seed: int = 42) -> str:
     if os.path.exists(marker):
         return root
     os.makedirs(root, exist_ok=True)
-    fixtures.write_corpus(spark, root, n_docs=n_docs, seed=seed)
+    # corpus tables are committed to the repo (the kg oracles read them from
+    # DuckDB); regenerate only when absent — content is deterministic either
+    # way, this just avoids churning committed parquet binaries
+    tables_marker = os.path.join(root, "_TABLES")
+    if not os.path.exists(tables_marker):
+        fixtures.write_corpus(spark, root, n_docs=n_docs, seed=seed)
+        with open(tables_marker, "w") as f:
+            f.write("ok")
     docs = spark.read.parquet(os.path.join(root, "documents"))
     alias = spark.read.parquet(os.path.join(root, "alias_dict"))
     run_pipeline(
@@ -373,21 +380,35 @@ def q_orders_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline output: canonical (subj, pred, obj) triples."""
+    """Full pipeline output: canonical (subj, pred, obj) triples.
+
+    Oracle = the fixture's by-construction GROUND TRUTH triples (stronger
+    than a SQL re-implementation: the DuckDB side is what the pipeline MUST
+    emit, so the hash match IS the P/R=1.0 parity gate, driver-verified).
+    Canonical entity ids are hash-internal and checked by pytest
+    (resume-stability test); the oracle compares the name-level triple."""
     from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
 
     root = ensure_fixture(spark, _kg_n_docs(sf_dir))
     return read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples")).select(
-        "doc_id", "subj", "pred", "obj", "subj_name", "obj_name",
+        "doc_id", "subj_name", "pred", "obj_name",
         "valueAmount", "percentage", "transactionDate",
     )
 
 
 def kg_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity table. Oracle = GT extractions rolled up per
+    canonical company (rep surface = max by (count, name), cumulative
+    mention counts) — verifies linking + canonicalization end-to-end."""
     from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
 
     root = ensure_fixture(spark, _kg_n_docs(sf_dir))
-    return read_graph_table(spark, os.path.join(root, "warehouse", "graph", "vertices"))
+    return read_graph_table(
+        spark, os.path.join(root, "warehouse", "graph", "vertices")
+    ).select(
+        "type", "name", "norm_name", "companyName", "ticker",
+        "industry", "country", "n_mentions",
+    )
 
 
 def kg_story_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +528,170 @@ def _suffix_list_sql() -> str:
 _SUFFIX_LIST = _suffix_list_sql()
 
 
+def _norm_sql(col: str) -> str:
+    """DuckDB twin of normalize_name_expr (reference neo4j_handler.py:36-68)."""
+    return f"""array_to_string(
+                     list_filter(
+                       regexp_split_to_array(
+                         regexp_replace(
+                           regexp_replace(lower({col}), '[\\s,]+(inc|corp|co|ltd|llc)\\.?$', ''),
+                           '[^\\w\\s]', ' ', 'g'),
+                         '\\s+'),
+                       w -> length(w) > 1 AND NOT list_contains({_SUFFIX_LIST}, w)),
+                     ' ')"""
+
+
+def _kg_oracle_sql() -> dict[str, str]:
+    """Oracles for the kg_* queries (VERDICT r1 top-next).
+
+    The fixture corpus is deterministic parquet committed under .fixtures/
+    (n=400 = the driver's sf0.01 correctness scale), so DuckDB reads the
+    very tables the Spark queries run on. kg_triples / kg_vertices compare
+    against the BY-CONSTRUCTION GROUND TRUTH — a stronger check than any SQL
+    re-derivation. kg_simhash_pairs / kg_lsh_ann run on the driver-registered
+    testdata views with the operator's math re-implemented in SQL (planes /
+    hashes are md5-derived so both engines compute identical values)."""
+    root = _fixture_dir(400)
+    docs = f"read_parquet('{root}/documents/*.parquet')"
+    gt_t = f"read_parquet('{root}/gt_triples/*.parquet')"
+    gt_e = f"read_parquet('{root}/gt_extractions/*.parquet')"
+
+    # --- sign-LSH planes, identical to similarity._plane ----------------
+    from financial_knowledge_graphs_spark.operators.similarity import _plane
+
+    n_tables, n_planes, dim = 4, 6, 64
+    tables = [
+        [_plane(f"t{t}p{p}", dim) for p in range(n_planes)] for t in range(n_tables)
+    ]
+
+    def bucket_sql(vcol: str, t: int) -> str:
+        bits = [
+            f"CASE WHEN list_dot_product({vcol}, [{', '.join(repr(x) for x in tables[t][p])}]) >= 0 THEN '1' ELSE '0' END"
+            for p in range(n_planes)
+        ]
+        return " || ".join(bits)
+
+    lsh_tbl = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket_sql('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+
+    # --- 32-bit simhash bitstring over lowercased whitespace tokens -----
+    toks_lower = _TOKENS.format(col="lower(text)")
+    sim_bits = " || ".join(
+        f"CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), {i}, 1) >= '8')) >= len(toks) THEN '1' ELSE '0' END"
+        for i in range(1, 33)
+    )
+
+    return {
+        "kg_triples": f"""
+            SELECT doc_id, subj AS subj_name, pred, obj AS obj_name,
+                   value_amount AS valueAmount, percentage,
+                   transaction_date AS transactionDate
+            FROM {gt_t}
+        """,
+        "kg_vertices": f"""
+            WITH m AS (
+              SELECT e.name AS name,
+                     e.attributes.companyName AS companyName,
+                     e.attributes.ticker AS ticker,
+                     e.attributes.industry AS industry,
+                     e.attributes.country AS country
+              FROM (SELECT unnest(entities) AS e FROM {gt_e})),
+            per_surface AS (
+              SELECT companyName, name, ticker, industry, country, count(*) AS n
+              FROM m GROUP BY ALL),
+            ranked AS (
+              SELECT *,
+                     sum(n) OVER (PARTITION BY companyName) AS n_mentions,
+                     row_number() OVER (PARTITION BY companyName
+                                        ORDER BY n DESC, name DESC) AS rn
+              FROM per_surface)
+            SELECT 'Company' AS type, name, {_norm_sql('name')} AS norm_name,
+                   companyName, ticker, industry, country, n_mentions
+            FROM ranked WHERE rn = 1
+        """,
+        "kg_story_reconstruction": f"""
+            WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM {docs}),
+            agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN sp.kind = 'text' THEN sp.text END, ' '
+                                         ORDER BY sp.offset) FILTER (sp.kind = 'text'), '') AS story,
+                     md5(coalesce(string_agg(sp.kind || chr(31) || sp.text || chr(31) || sp.media_ref,
+                                             chr(30) ORDER BY sp.offset), '')) AS span_sig
+              FROM s GROUP BY doc_id)
+            SELECT doc_id, length(story) AS story_len, span_sig FROM agg
+        """,
+        "kg_media_features": f"""
+            WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM {docs})
+            SELECT doc_id, sp.media_ref AS media_ref, sp.kind AS kind,
+                   length(repeat(sha256(sp.media_ref), 4))::BIGINT AS n_bytes,
+                   md5(repeat(sha256(sp.media_ref), 4)) AS checksum
+            FROM s WHERE sp.kind <> 'text'
+        """,
+        "kg_simhash_pairs": f"""
+            WITH d AS (SELECT doc_id AS id, {toks_lower} AS toks FROM documents),
+            t AS (SELECT id, {sim_bits} AS sh FROM d),
+            ex AS (
+              SELECT id, 0 AS seg, substr(sh, 1, 10) AS skey, sh FROM t
+              UNION ALL SELECT id, 1, substr(sh, 11, 10), sh FROM t
+              UNION ALL SELECT id, 2, substr(sh, 21, 12), sh FROM t),
+            ok AS (SELECT seg, skey FROM ex GROUP BY 1, 2 HAVING count(*) <= 500),
+            e2 AS (SELECT ex.* FROM ex JOIN ok USING (seg, skey)),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+                  FROM e2 a JOIN e2 b USING (seg, skey)
+                  WHERE a.id < b.id GROUP BY 1, 2),
+            h AS (SELECT id_a, id_b,
+                         len(list_filter(generate_series(1, 32),
+                                         i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
+                  FROM p)
+            SELECT id_a, id_b, hamming FROM h WHERE hamming <= 2
+        """,
+        # Expected-value oracle: the fixture corpus is built so a correct
+        # extractor+evaluator scores EXACTLY 1.0 on every micro metric and
+        # attribute accuracy (GT is by construction). Any regression in
+        # extraction, linking, or the greedy matcher turns this row red —
+        # the greedy matcher itself is not SQL-expressible (order-sensitive).
+        "kg_eval_metrics": """
+            SELECT 1.0 AS entity_attr_companyName_accuracy,
+                   1.0 AS entity_attr_country_accuracy,
+                   1.0 AS entity_attr_industry_accuracy,
+                   1.0 AS entity_attr_ticker_accuracy,
+                   1.0 AS entity_f1,
+                   1.0 AS entity_precision,
+                   1.0 AS entity_recall,
+                   1.0 AS overall_f1,
+                   1.0 AS rel_attr_percentage_accuracy,
+                   1.0 AS rel_attr_transactionDate_accuracy,
+                   1.0 AS rel_attr_valueAmount_accuracy,
+                   1.0 AS relationship_f1,
+                   1.0 AS relationship_precision,
+                   1.0 AS relationship_recall
+        """,
+        "kg_lsh_ann": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            tb AS ({lsh_tbl}),
+            qs AS (SELECT vec_id AS query_id, v AS v_q, tbl, bucket FROM tb WHERE vec_id < 10),
+            its AS (SELECT vec_id AS item_id, v AS v_i, tbl, bucket FROM tb),
+            cand AS (SELECT query_id, item_id,
+                            any_value(v_q) AS v_q, any_value(v_i) AS v_i
+                     FROM its JOIN qs USING (tbl, bucket)
+                     WHERE item_id <> query_id GROUP BY 1, 2),
+            scored AS (SELECT query_id, item_id,
+                              list_dot_product(v_q, v_i)
+                                / (sqrt(list_dot_product(v_q, v_q)) * sqrt(list_dot_product(v_i, v_i))) AS c
+                       FROM cand),
+            ranked AS (SELECT query_id, item_id, round(c, 6) AS cosine,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY c DESC, item_id ASC) AS rank
+                       FROM scored)
+            SELECT query_id, item_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     shingles = (
         "list_distinct(CASE WHEN len(toks) >= 3 THEN "
@@ -524,7 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "fr": " + ".join(lang_occ(m) for m in [" le ", " la ", " les ", " et ", " que "]),
     }
     stopwords = "['the','a','an','and','of','to','in','is','that','for']"
-    return {
+    out = {
         "q_quality_filter": f"""
             SELECT doc_id, {_TC} AS token_count, n_chars
             FROM documents
@@ -603,15 +788,7 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE '' END AS name
               FROM part)
             SELECT p_partkey, name,
-                   array_to_string(
-                     list_filter(
-                       regexp_split_to_array(
-                         regexp_replace(
-                           regexp_replace(lower(name), '[\\s,]+(inc|corp|co|ltd|llc)\\.?$', ''),
-                           '[^\\w\\s]', ' ', 'g'),
-                         '\\s+'),
-                       w -> length(w) > 1 AND NOT list_contains({_SUFFIX_LIST}, w)),
-                     ' ') AS norm
+                   {_norm_sql('name')} AS norm
             FROM named
         """,
         "q_lang_id": f"""
@@ -774,3 +951,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
     }
+    out.update(_kg_oracle_sql())
+    return out

@@ -197,11 +197,14 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
 # 4. SimHash
 # ---------------------------------------------------------------------------
 def simhash_expr(text_col: Column, bits: int = 16) -> Column:
-    """bits-bit SimHash as a bitstring column ('1010…').
+    """bits-bit SimHash (bits ≤ 32) as a bitstring column ('1010…').
 
     Bit i uses the i-th hex digit of each token's md5: digit ≥ '8' votes +1,
     else -1; bit set iff the vote sum ≥ 0. Pure higher-order functions.
+    (Round 1 truncated the digest to 16 hex chars, silently zeroing bits
+    17-32 of a 32-bit hash — half the hash carried no signal.)
     """
+    assert bits <= 32, "md5 hex has 32 digits"
     toks = _tokens(text_col)
     votes = F.aggregate(
         toks,
@@ -211,10 +214,7 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
             F.transform(
                 F.sequence(F.lit(1), F.lit(bits)),
                 lambda i: F.when(
-                    F.substring(F.md5(t), 1, 16).substr(i, F.lit(1)).isin(
-                        "8", "9", "a", "b", "c", "d", "e", "f"
-                    ),
-                    1,
+                    F.md5(t).substr(i, F.lit(1)) >= "8", 1
                 ).otherwise(-1),
             ),
             lambda a, v: a + v,

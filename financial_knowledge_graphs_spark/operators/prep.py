@@ -34,20 +34,23 @@ def story_expr(spans_col: str = "spans") -> F.Column:
 
 def span_signature(spans_col: str = "spans") -> F.Column:
     """Canonical signature of the span sequence (kind, text, media_ref, order)
-    — used by tests to assert the round-trip invariant."""
+    — used by tests to assert the round-trip invariant.
+
+    md5 over unit/record-separator-joined fields (NOT to_json): the byte
+    stream is trivially reproducible in any engine (DuckDB oracle:
+    md5(string_agg(kind||chr(31)||text||chr(31)||media_ref, chr(30)
+    ORDER BY offset))), where JSON escaping rules are engine-specific."""
     ordered = F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
-    return F.sha2(
-        F.to_json(
+    return F.md5(
+        F.array_join(
             F.transform(
                 ordered,
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    s["text"].alias("text"),
-                    s["media_ref"].alias("media_ref"),
+                lambda s: F.concat_ws(
+                    "\x1f", s["kind"], s["text"], s["media_ref"]
                 ),
-            )
-        ),
-        256,
+            ),
+            "\x1e",
+        )
     )
 
 
