@@ -295,6 +295,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked by sign-LSH buckets (the 100 TB path —
+    no fixture label column; VERDICT r1 next #8)."""
+    from financial_knowledge_graphs_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    return embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.similarity import brute_force_topk
 
@@ -493,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
         "q_anti_join_resume": q_anti_join_resume,
         "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -668,6 +679,22 @@ def _kg_oracle_sql() -> dict[str, str]:
                    1.0 AS relationship_f1,
                    1.0 AS relationship_precision,
                    1.0 AS relationship_recall
+        """,
+        "q_embedding_neardup_lsh": f"""
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            tb AS ({lsh_tbl}),
+            ok AS (SELECT tbl, bucket FROM tb GROUP BY 1, 2 HAVING count(*) <= 1000),
+            t2 AS (SELECT tb.* FROM tb JOIN ok USING (tbl, bucket)),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         any_value(a.v) AS v_a, any_value(b.v) AS v_b
+                  FROM t2 a JOIN t2 b USING (tbl, bucket)
+                  WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(list_dot_product(v_a, v_b)
+                         / (sqrt(list_dot_product(v_a, v_a)) * sqrt(list_dot_product(v_b, v_b))), 6) AS cosine
+            FROM p
+            WHERE list_dot_product(v_a, v_b)
+                  / (sqrt(list_dot_product(v_a, v_a)) * sqrt(list_dot_product(v_b, v_b))) >= 0.4
         """,
         "kg_lsh_ann": f"""
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

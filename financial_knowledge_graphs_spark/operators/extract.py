@@ -198,9 +198,13 @@ def make_extract_udf(spark: SparkSession, alias_dict: DataFrame):
         # memoized per worker PROCESS (not per task): _GAZ_CACHE is a
         # module-level name, so cloudpickle references it through the module
         # import — one dict per worker; with worker reuse the index for a
-        # 10^5-row alias dict is built once per core, not once per task
+        # 10^5-row alias dict is built once per core, not once per task.
+        # Single-entry cache: a long-lived worker serving many pipeline runs
+        # (streaming restarts) must not accumulate one O(alias-dict) index
+        # per make_extract_udf call (ADVICE r1) — evict before inserting.
         gaz = _GAZ_CACHE.get(bid)
         if gaz is None:
+            _GAZ_CACHE.clear()
             gaz = _GAZ_CACHE[bid] = Gazetteer(bc.value)
         for stories in batches:
             yield pd.Series(

@@ -116,16 +116,36 @@ def char_ngram_buckets_expr(col: Column | str, n: int = 3, dim: int = 64) -> Col
     )
 
 
+def raw_char_ngrams_expr(col: Column | str, n: int = 3) -> Column:
+    """Distinct raw character n-grams (with ^/$ boundary markers) — the
+    BLOCKING key. Raw grams, not hashed-mod-dim buckets: with only ``dim``
+    buckets per type, any type with more than ~dim*max_block names saturates
+    every block and the cap purges them ALL — a silent recall collapse at
+    exactly the scale the feature targets (ADVICE r1). The raw-gram key
+    space grows with the data, so block sizes stay bounded by true gram
+    frequency; ``dim`` now sizes only the cosine vectors."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit("^"), c, F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )
+
+
 def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
                                n: int = 3, dim: int = 64,
                                max_block: int = 1000) -> DataFrame:
     """Candidate pairs (key_a < key_b, cosine) with char-n-gram cosine ≥
-    threshold. Blocking: shared hashed n-gram bucket within the same type
-    (a pair with high cosine necessarily shares buckets), block-capped like
-    every other pair join in this engine."""
+    threshold. Blocking: shared RAW character n-gram within the same type
+    (a pair with high cosine necessarily shares grams), block-capped like
+    every other pair join in this engine; dim only shapes the hashed
+    cosine vectors."""
     v = keys.select(
         "key", "type",
         char_ngram_buckets_expr(F.col("norm"), n, dim).alias("bks"),
+        raw_char_ngrams_expr(F.col("norm"), n).alias("grams"),
     ).withColumn(
         "vec",
         F.transform(
@@ -136,7 +156,7 @@ def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
         "nrm",
         F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, x: s + x * x)),
     )
-    ex = v.select("key", "type", "vec", "nrm", F.explode(F.array_distinct("bks")).alias("bk"))
+    ex = v.select("key", "type", "vec", "nrm", F.explode("grams").alias("bk"))
     sizes = ex.groupBy("type", "bk").agg(F.count(F.lit(1)).alias("bs"))
     ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), ["type", "bk"], "left_anti")
     a = ex.select(

@@ -42,7 +42,19 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     replicated once per salt value, so (keys..., s) matches exactly one
     replica — the result multiset equals the unsalted join. The shuffle key
     (keys..., salt) spreads a hot key over ``salt`` reducers.
+
+    Only big-side-preserving join types are valid: for how='right'/'full' an
+    unmatched SMALL-side row survives once per replica and would appear
+    ``salt`` times null-extended (ADVICE r1) — rejected here.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join preserves multiplicity only for {sorted(allowed)}; "
+            f"got how={how!r} (unmatched small-side rows would be replicated "
+            f"{salt}x under right/full outer)"
+        )
     big_s = big.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),

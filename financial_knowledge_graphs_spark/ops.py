@@ -28,6 +28,27 @@ class OpsStore:
         self.checkpoints_path = os.path.join(root, "checkpoints")
         self.lineage_path = os.path.join(root, "lineage")
         self.metrics_path = os.path.join(root, "metrics")
+        self.runs_path = os.path.join(root, "runs")
+
+    # -- run registry (SURVEY §2.3 rows 20-21) ------------------------------
+    def next_run_id(self) -> str:
+        """Allocate run_{max(run_num)+1} and register it — the reference's
+        next-version counter (reference src/utils/batch_utils.py:117-158)."""
+        nums = [r["run_num"] for r in self.read("runs").select("run_num").collect()]
+        n = (max(nums) + 1) if nums else 1
+        run_id = f"run_{n}"
+        self.spark.createDataFrame(
+            [(run_id, n)], "run_id string, run_num int"
+        ).withColumn("created_at", F.current_timestamp()).write.mode("append").parquet(
+            self.runs_path
+        )
+        return run_id
+
+    def latest_run_id(self) -> str | None:
+        """Highest-numbered registered run — the reference's latest-version
+        pick (reference src/utils/batch_utils.py:95-115)."""
+        rows = self.read("runs").orderBy(F.desc("run_num")).limit(1).collect()
+        return rows[0]["run_id"] if rows else None
 
     # -- checkpoints --------------------------------------------------------
     def processed_docs(self, run_id: str, stage: str) -> DataFrame:
@@ -94,10 +115,12 @@ class OpsStore:
     def read(self, which: str) -> DataFrame:
         path = {"checkpoints": self.checkpoints_path,
                 "lineage": self.lineage_path,
-                "metrics": self.metrics_path}[which]
+                "metrics": self.metrics_path,
+                "runs": self.runs_path}[which]
         schema = {"checkpoints": schemas.CHECKPOINTS,
                   "lineage": schemas.LINEAGE,
-                  "metrics": schemas.METRICS}[which]
+                  "metrics": schemas.METRICS,
+                  "runs": schemas.RUNS}[which]
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)

@@ -36,7 +36,10 @@ from .ops import OpsStore
 @dataclass
 class PipelineConfig:
     warehouse: str                      # output root (graph + ops tables)
-    run_id: str = "run_1"
+    # None → resume the latest registered run, or allocate run_1 via the run
+    # registry (reference's versioned execution dirs, batch_utils.py:95-158).
+    # Pass ops.next_run_id() explicitly to start a fresh run.
+    run_id: str | None = None
     min_tokens: int = prep.DEFAULT_MIN_TOKENS
     batch_size: int | None = None       # bounded micro-batch; None = all
     max_block: int = 1000               # linking block cap
@@ -72,7 +75,9 @@ def run_pipeline(
 ) -> PipelineResult:
     t0 = time.time()
     ops = OpsStore(spark, os.path.join(cfg.warehouse, "ops"))
+    run_id = cfg.run_id or ops.latest_run_id() or ops.next_run_id()
     res = PipelineResult()
+    res.extra["run_id"] = run_id
 
     # Accurate lineage at zero cost: Observations ride the first action over
     # this plan (the extraction count) — no extra scan jobs (round 1 set
@@ -101,7 +106,7 @@ def run_pipeline(
     ).observe(obs_prep, F.count(F.lit(1)).alias("n"))
 
     # ---- resume anti-join + bounded micro-batch ----------------------------
-    processed = ops.processed_docs(cfg.run_id, cfg.stage_name)
+    processed = ops.processed_docs(run_id, cfg.stage_name)
     staged = prep.resume_anti_join(prepared, processed)
     if cfg.batch_size:
         staged = prep.batch_limit(staged, cfg.batch_size)
@@ -124,11 +129,11 @@ def run_pipeline(
     res.docs_in = docs_in
     res.extra["docs_prepared"] = docs_prepared
     # prep-stage lineage: how many raw docs the quality filter + dedup dropped
-    ops.log_lineage(cfg.run_id, "prep", docs_in, docs_prepared,
+    ops.log_lineage(run_id, "prep", docs_in, docs_prepared,
                     docs_in - docs_prepared)
     if res.docs_processed == 0:
         # resume no-op: everything already checkpointed
-        ops.log_lineage(cfg.run_id, cfg.stage_name, docs_in, 0, 0, status="noop")
+        ops.log_lineage(run_id, cfg.stage_name, docs_in, 0, 0, status="noop")
         res.seconds = time.time() - t0
         extracted.unpersist()
         return res
@@ -263,21 +268,21 @@ def run_pipeline(
     def _lineage_writes():
         # both append to the lineage dir — MUST be sequential (concurrent
         # appends to one parquet dir share the _temporary staging path)
-        ops.log_partition_lineage(cfg.run_id, cfg.stage_name, extracted.select("doc_id"))
+        ops.log_partition_lineage(run_id, cfg.stage_name, extracted.select("doc_id"))
         ops.log_lineage(
-            cfg.run_id, "materialize",
+            run_id, "materialize",
             res.mentions, res.triples, res.dropped_endpoint_rows,
         )
 
     with ThreadPoolExecutor(max_workers=2) as tp:
         f1 = tp.submit(
-            ops.checkpoint_docs, cfg.run_id, cfg.stage_name, extracted.select("doc_id")
+            ops.checkpoint_docs, run_id, cfg.stage_name, extracted.select("doc_id")
         )
         f2 = tp.submit(_lineage_writes)
         f1.result(); f2.result()
     res.seconds = time.time() - t0
     ops.log_metrics(
-        cfg.run_id, cfg.stage_name,
+        run_id, cfg.stage_name,
         {
             "docs_processed": res.docs_processed,
             "mentions": res.mentions,

@@ -166,6 +166,16 @@ METRICS = StructType(
     ]
 )
 
+# run registry (SURVEY §2.3 rows 20-21): replaces the reference's
+# execution_N directory counter (reference src/utils/batch_utils.py:117-158)
+RUNS = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("run_num", IntegerType()),
+        StructField("created_at", TimestampType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Fixture ground truth (FIXTURES.md §4)
 # ---------------------------------------------------------------------------

@@ -75,14 +75,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # Shuffle spill dir: prefer RAM-backed tmpfs when present. On a real
-    # cluster every executor brings its own local disks, so shuffle bandwidth
-    # scales with the node count; a single shared disk is a one-box artifact
-    # that caps shuffle-heavy stages regardless of core count. Overridable
-    # via SPARK_GRAFT_LOCAL_DIR.
+    # Shuffle spill dir: prefer RAM-backed tmpfs when present AND large
+    # enough. On a real cluster every executor brings its own local disks, so
+    # shuffle bandwidth scales with the node count; a single shared disk is a
+    # one-box artifact that caps shuffle-heavy stages regardless of core
+    # count. Docker defaults /dev/shm to 64MB — spilling there would ENOSPC
+    # mid-job (ADVICE r1) — so tmpfs is only used when it has real capacity;
+    # otherwise Spark's default local dir stands. Overridable via
+    # SPARK_GRAFT_LOCAL_DIR.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:  # >= 8 GiB free
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

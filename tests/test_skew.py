@@ -45,3 +45,15 @@ def test_left_join_preserves_unmatched(spark):
     out = salted_join(big, small, ["name"], salt=4, how="left")
     assert out.count() == 2
     assert out.filter(F.col("entity_id").isNull()).count() == 1
+
+
+def test_salted_join_rejects_multiplicity_breaking_how(spark):
+    """right/full outer would replicate unmatched small-side rows salt
+    times (ADVICE r1) — must raise, not silently corrupt."""
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", 9)], "k string, w int")
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], salt=4, how=bad)

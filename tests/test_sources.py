@@ -122,20 +122,82 @@ def test_yaml_scan(spark, tmp_warehouse):
     assert got == {"a1": "first story text", "a2": "second story text"}
 
 
-def test_excel_scan_gated(spark, tmp_warehouse):
-    """openpyxl absent in this container -> NotImplementedError, not a crash."""
-    import os
+def _write_minimal_xlsx(path: str) -> None:
+    """Hand-built SpreadsheetML zip: header row + 2 data rows, shared +
+    inline strings + a number cell — the shapes the vendored reader handles."""
+    import zipfile
 
-    import pytest
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{m}"><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2" t="inlineStr"><is><t>First story</t></is></c><c r="C2"><v>42</v></c></row>
+<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3" t="inlineStr"><is><t>Second story</t></is></c><c r="C3"><v>7</v></c></row>
+</sheetData></worksheet>"""
+    shared = f"""<?xml version="1.0"?>
+<sst xmlns="{m}" count="5" uniqueCount="5">
+<si><t>newsID</t></si><si><t>story</t></si><si><t>score</t></si>
+<si><t>a1</t></si><si><t>a2</t></si></sst>"""
+    workbook = f"""<?xml version="1.0"?>
+<workbook xmlns="{m}"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_scan_vendored_reader(spark, tmp_warehouse):
+    """SURVEY §2.1 row 2 ungated (VERDICT missing #6): the stdlib xlsx
+    reader round-trips a real sheet without openpyxl."""
+    import os
 
     from financial_knowledge_graphs_spark.sources.readers import read_articles_excel
 
     p = os.path.join(tmp_warehouse, "articles.xlsx")
-    open(p, "wb").write(b"PK\x03\x04 not a real sheet")
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("excel engine present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(Exception):  # NotImplementedError or engine parse error
-        read_articles_excel(spark, p)
+    _write_minimal_xlsx(p)
+    df = read_articles_excel(spark, p)
+    rows = {r["newsID"]: (r["story"], r["score"]) for r in df.collect()}
+    assert rows == {"a1": ("First story", "42"), "a2": ("Second story", "7")}
+
+
+def test_flat_triple_payload_roundtrip(spark):
+    """Flat OpenIE/prompt-v1/v2 shape (reference ground_truth.py:57-69)
+    lifts into the nested extraction struct (VERDICT missing #4)."""
+    from financial_knowledge_graphs_spark.operators import extract
+    from financial_knowledge_graphs_spark.sources.readers import flat_to_extraction_expr
+
+    payloads = [
+        ("d1", '```json\n[{"subject": "Acme Corp", "relation": "acquired", '
+               '"object": "Beta LLC"}, {"subject": "Acme Corp", '
+               '"relation": "mergedWith", "object": "Gamma Inc"}]\n```'),
+        ("d2", '[{"subject": "Solo Co", "relation": "hasDebtHolder", "object": "Solo Co"}]'),
+        ("d3", "not json at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id string, content string").withColumn(
+        "extraction", flat_to_extraction_expr("content")
+    )
+    ments = {(r["doc_id"], r["local_id"], r["name"])
+             for r in extract.mentions_df(df).collect()}
+    assert ("d1", "E1", "Acme Corp") in ments
+    assert ("d1", "E2", "Beta LLC") in ments
+    assert ("d1", "E3", "Gamma Inc") in ments
+    assert ("d2", "E1", "Solo Co") in ments
+    assert not any(d == "d3" for d, _, _ in ments)  # degrade, don't crash
+    trips = {(r["doc_id"], r["pred"], r["src_local"], r["tgt_local"])
+             for r in extract.raw_triples_df(df).collect()}
+    assert ("d1", "acquired", "E1", "E2") in trips
+    assert ("d1", "mergedWith", "E1", "E3") in trips
+    assert ("d2", "hasDebtHolder", "E1", "E1") in trips
+
+
+def test_run_registry(spark, tmp_warehouse):
+    """SURVEY §2.3 rows 20-21 (VERDICT missing #3): next-version counter +
+    latest-version pick, and the pipeline's continue-latest default."""
+    from financial_knowledge_graphs_spark.ops import OpsStore
+
+    ops = OpsStore(spark, tmp_warehouse)
+    assert ops.latest_run_id() is None
+    assert ops.next_run_id() == "run_1"
+    assert ops.next_run_id() == "run_2"
+    assert ops.latest_run_id() == "run_2"
