@@ -40,7 +40,9 @@ def sf_of(path: str) -> float:
 
 
 def kg_docs_for(sf: float) -> int:
-    return max(200, int(200_000 * sf))
+    # 50k docs at sf0.1 (round 1 used 20k, where ~40s of fixed multi-job
+    # scheduling latency dominated the docs/sec signal; VERDICT r1 next #10)
+    return max(200, int(500_000 * sf))
 
 
 def force(df) -> None:
@@ -91,6 +93,7 @@ def main() -> None:
         "q_simhash" if "q_simhash" in qs else "kg_simhash_pairs",
         "q_ann_topk",
         "q_embedding_neardup",
+        "q_embedding_neardup_lsh",
         "q_pricing_summary",
         "q_top_orders_per_customer",
         "q_orders_join_agg",

@@ -97,12 +97,17 @@ def main() -> None:
     high = min(highs, key=lambda r: r["seconds"])
     ratio = high_cpus / low_cpus
     eff = (low["seconds"] / high["seconds"]) / ratio
+    per_repeat = [
+        round((l["seconds"] / h["seconds"]) / ratio, 2)
+        for l, h in zip(lows, highs)
+    ]
     result = {
         "n_docs": n_docs,
         "low": low,
         "high": high,
         "all_runs": {"low": [r["seconds"] for r in lows],
                      "high": [r["seconds"] for r in highs]},
+        "per_repeat_efficiency": per_repeat,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -131,10 +136,23 @@ Raw repeats (s): low {result['all_runs']['low']}, high {result['all_runs']['high
 
 Scaling efficiency = (T{low_cpus} / T{high_cpus}) / {ratio:g} = **{eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Per-repeat efficiencies (paired within each interleaved repeat):
+{", ".join(str(x) for x in per_repeat)} — the headline number pairs the min
+of each level across repeats (conservative under the sandbox's per-core
+clock drift).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("# BENCH — measured baseline numbers\n" + md)
+    # preserve any sections after §4 (spark-submit validation etc.)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(target):
+        cur = open(target).read()
+        i = cur.find("## 5.")
+        if i >= 0:
+            tail = "\n" + cur[i:]
+    with open(target, "w") as f:
+        f.write("# BENCH — measured baseline numbers\n" + md + tail)
 
 
 if __name__ == "__main__":

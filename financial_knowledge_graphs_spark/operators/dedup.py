@@ -205,17 +205,18 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
     17-32 of a 32-bit hash — half the hash carried no signal.)
     """
     assert bits <= 32, "md5 hex has 32 digits"
-    toks = _tokens(text_col)
+    # hash each token ONCE, then fold bits over the digests — the round-1
+    # expression re-evaluated md5(t) per bit position (bits× the hash work;
+    # VERDICT r1 flagged this stage as the costliest in the bench)
+    tok_hashes = F.transform(_tokens(text_col), lambda t: F.md5(t))
     votes = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(1), F.lit(bits)),
-                lambda i: F.when(
-                    F.md5(t).substr(i, F.lit(1)) >= "8", 1
-                ).otherwise(-1),
+                lambda i: F.when(h.substr(i, F.lit(1)) >= "8", 1).otherwise(-1),
             ),
             lambda a, v: a + v,
         ),

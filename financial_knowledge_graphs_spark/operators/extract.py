@@ -17,6 +17,13 @@ Scale design:
   streamed over Arrow record batches.
 - No per-row Python outside this single stage; parsing back to columns is
   Catalyst ``from_json`` with an explicit schema.
+
+Recall scope: the connector patterns below are anchored immediately after a
+mention and take the first hit — sufficient for the reference-parity gate on
+the fixture grammar, deliberately NOT a general relation extractor.
+Real-world recall comes from adding patterns (or swapping this UDF for a
+model call); the Spark plumbing — broadcast gazetteer, Arrow batching,
+downstream link/canonicalize/materialize — is unchanged by that swap.
 """
 
 from __future__ import annotations

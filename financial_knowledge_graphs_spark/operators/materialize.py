@@ -348,7 +348,14 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         touched = None  # first write: install every bucket present in updates
         merged = dedup
 
-    merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+    # co-locate each bucket in one task before the partitioned write: without
+    # this, partitionBy emits one file per (shuffle-task × bucket) pair —
+    # N_tasks×N_buckets small files per merge. Hash-repartitioning on
+    # __bucket gives exactly one file per bucket (at real scale, pair with
+    # spark.sql.files.maxRecordsPerFile to re-split oversized buckets).
+    merged.repartition(n_buckets, F.col("__bucket")).write.partitionBy(
+        "__bucket"
+    ).mode("overwrite").parquet(staging)
 
     migrated_flat = exists and not _bucket_dirs(table_path)
     # install: move each staged bucket dir to a fresh version, swap pointer

@@ -192,7 +192,11 @@ def run_pipeline(
             .persist()
         )
         _cleanup.append(remap)
-        if remap.limit(1).count() > 0:
+        # full count (NOT limit(1)): materializes every partition into the
+        # cache NOW, while the vertices table's old version dirs still exist
+        # — the concurrent merges below swap pointers and delete old files,
+        # so a lazily-computed remap partition could read a deleted file
+        if remap.count() > 0:
             stale_vertex_keys = remap.select(F.col("old_id").alias("entity_id"))
             triple_remap = remap
 
