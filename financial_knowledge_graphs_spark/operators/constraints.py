@@ -1,0 +1,116 @@
+"""Schema-constraint enforcement (SURVEY §2.6 row 43).
+
+The reference declares uniqueness constraints + a name index in Neo4j
+(reference src/db/neo4j_handler.py:26-34) and otherwise trusts the driver to
+reject violating writes. Tables have no constraint engine, so this module is
+the explicit enforcement layer a writer calls before a merge: conform the
+frame to the declared StructType, split off NOT NULL / UNIQUE violations,
+and either raise, drop, or report them.
+
+Everything is declarative DataFrame work — conformance is a projection with
+casts (column pruning preserved), NOT NULL is a filter, UNIQUE is a window
+count over the key (one shuffle on the key, which the downstream merge
+shuffles on anyway).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class Constraints:
+    schema: StructType
+    not_null: list[str] = field(default_factory=list)
+    unique: list[list[str]] = field(default_factory=list)  # each a key tuple
+
+
+class ConstraintViolation(ValueError):
+    pass
+
+
+def conform(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project + cast to exactly the declared schema. Missing columns raise
+    (writer bug); extra columns are dropped (pruned before the shuffle)."""
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ConstraintViolation(f"missing columns for schema: {missing}")
+    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+
+
+def violations(df: DataFrame, cons: Constraints) -> DataFrame:
+    """One row per violating input row, tagged with the failed constraint.
+    UNIQUE marks every row of a duplicated key (count over a window — the
+    extra shuffle is on the merge key the writer shuffles on anyway)."""
+    out = None
+    for c in cons.not_null:
+        v = df.filter(F.col(c).isNull()).withColumn(
+            "violation", F.lit(f"not_null:{c}")
+        )
+        out = v if out is None else out.unionByName(v)
+    for key in cons.unique:
+        w = Window.partitionBy(*[F.col(k) for k in key])
+        v = (
+            df.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") > 1)
+            .drop("_n")
+            .withColumn("violation", F.lit(f"unique:{','.join(key)}"))
+        )
+        out = v if out is None else out.unionByName(v)
+    if out is None:
+        return df.limit(0).withColumn("violation", F.lit(""))
+    return out
+
+
+def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
+    """Conform + enforce.
+
+    mode='error'  raise ConstraintViolation if any row violates (count job);
+    mode='drop'   return only clean rows (null keys dropped, first row per
+                  unique key kept deterministically by the key ordering);
+    mode='report' return the conformed frame with a `violation` column
+                  (null = clean) for the caller to route to a quarantine
+                  table.
+    """
+    d = conform(df, cons.schema)
+    if mode == "error":
+        bad = violations(d, cons)
+        n = bad.limit(1).count()
+        if n:
+            sample = [r["violation"] for r in bad.select("violation").limit(5).collect()]
+            raise ConstraintViolation(f"constraint violations (e.g. {sample})")
+        return d
+    if mode == "drop":
+        for c in cons.not_null:
+            d = d.filter(F.col(c).isNotNull())
+        for key in cons.unique:
+            w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(
+                *[F.col(f.name) for f in cons.schema.fields]
+            )
+            d = d.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+        return d
+    if mode == "report":
+        # inline tags (no join — a join on the full row would drop null-key
+        # matches and re-shuffle the whole frame)
+        tags = [
+            F.when(F.col(c).isNull(), F.lit(f"not_null:{c}")) for c in cons.not_null
+        ]
+        for key in cons.unique:
+            w = Window.partitionBy(*[F.col(k) for k in key])
+            tags.append(
+                F.when(F.count(F.lit(1)).over(w) > 1,
+                       F.lit(f"unique:{','.join(key)}"))
+            )
+        tag_col = F.concat_ws(
+            ";", F.filter(F.array(*tags), lambda x: x.isNotNull())
+        ) if tags else F.lit("")
+        return d.withColumn(
+            "violation", F.when(tag_col == "", F.lit(None)).otherwise(tag_col)
+        )
+    raise ValueError(f"unknown mode {mode!r}")

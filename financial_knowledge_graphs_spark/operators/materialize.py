@@ -237,6 +237,67 @@ def _set_current(bucket_dir: str, version: str) -> None:
     os.replace(tmp, os.path.join(bucket_dir, "CURRENT"))
 
 
+SNAPSHOT_RETENTION = 3  # version dirs kept per bucket (time-travel window)
+
+
+def _append_snapshot(table_path: str) -> int:
+    """Record the table's full bucket→version map as a new snapshot (one
+    JSON line in _snapshots.jsonl — the emulation of Iceberg's snapshot
+    metadata). Called after every merge commit; returns the snapshot id."""
+    import json
+    import os
+    import time as _time
+
+    state = {}
+    for b in _bucket_dirs(table_path):
+        v = _current_version(os.path.join(table_path, b))
+        if v:
+            state[b] = v
+    log = os.path.join(table_path, "_snapshots.jsonl")
+    sid = 1
+    if os.path.exists(log):
+        with open(log) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if lines:
+            sid = json.loads(lines[-1])["snapshot_id"] + 1
+    with open(log, "a") as f:
+        f.write(json.dumps({"snapshot_id": sid, "ts": _time.time(),
+                            "buckets": state}) + "\n")
+    return sid
+
+
+def snapshots(table_path: str) -> list[dict]:
+    """All recorded snapshots, oldest first (Iceberg ``.snapshots`` analog)."""
+    import json
+    import os
+
+    log = os.path.join(table_path, "_snapshots.jsonl")
+    if not os.path.exists(log):
+        return []
+    with open(log) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _gc_versions(table_path: str) -> None:
+    """Drop version dirs not referenced by the last SNAPSHOT_RETENTION
+    snapshots nor by a CURRENT pointer (bounded time-travel window — the
+    Iceberg ``expire_snapshots`` analog)."""
+    import os
+    import shutil
+
+    snaps = snapshots(table_path)[-SNAPSHOT_RETENTION:]
+    live: dict[str, set[str]] = {}
+    for s in snaps:
+        for b, v in s["buckets"].items():
+            live.setdefault(b, set()).add(v)
+    for b in _bucket_dirs(table_path):
+        bdir = os.path.join(table_path, b)
+        keep = live.get(b, set()) | {_current_version(bdir) or ""}
+        for d in os.listdir(bdir):
+            if d.startswith("v_") and d not in keep:
+                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+
+
 def table_exists(table_path: str) -> bool:
     import os
 
@@ -247,15 +308,34 @@ def table_exists(table_path: str) -> bool:
     )
 
 
-def read_graph_table(spark: SparkSession, table_path: str) -> DataFrame:
+def read_graph_table(spark: SparkSession, table_path: str,
+                     snapshot: int | None = None) -> DataFrame:
     """Read a bucketed graph table by resolving each bucket's CURRENT
-    pointer (snapshot-consistent view). Falls back to a plain parquet read
-    for legacy flat directories."""
+    pointer (snapshot-consistent view), or — with ``snapshot`` — the bucket
+    versions recorded at that snapshot id (time travel, Iceberg
+    ``VERSION AS OF``; the last SNAPSHOT_RETENTION snapshots stay
+    readable). Falls back to a plain parquet read for legacy flat dirs."""
     import os
 
     buckets = _bucket_dirs(table_path)
     if not buckets:
         return spark.read.parquet(table_path)
+    if snapshot is not None:
+        snap = next(
+            (s for s in snapshots(table_path) if s["snapshot_id"] == snapshot), None
+        )
+        if snap is None:
+            raise ValueError(f"no snapshot {snapshot} recorded for {table_path}")
+        paths = []
+        for b, v in snap["buckets"].items():
+            p = os.path.join(table_path, b, v)
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"snapshot {snapshot} expired (bucket {b} version {v} "
+                    f"GC'd; retention={SNAPSHOT_RETENTION})"
+                )
+            paths.append(p)
+        return spark.read.parquet(*paths)
     paths = []
     for b in buckets:
         bdir = os.path.join(table_path, b)
@@ -375,12 +455,10 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
         _set_current(bdir, nxt)
         installed.add(b)
-        if cur and os.path.isdir(os.path.join(bdir, cur)):
-            shutil.rmtree(os.path.join(bdir, cur), ignore_errors=True)
     # touched buckets with NO staged rows were fully emptied by deletes:
     # bump the pointer to a fresh (nonexistent) version — readers skip
-    # missing version dirs, so the bucket reads as empty — then drop the old
-    # data dir. Same atomicity: the pointer swap is the commit point.
+    # missing version dirs, so the bucket reads as empty. Same atomicity:
+    # the pointer swap is the commit point.
     for b in (touched or []):
         bdir = os.path.join(table_path, f"bucket={b}")
         if b in installed or not os.path.isdir(bdir):
@@ -388,12 +466,15 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         cur = _current_version(bdir)
         nxt = f"v_{(int(cur[2:]) + 1) if cur else 1:07d}"
         _set_current(bdir, nxt)
-        if cur and os.path.isdir(os.path.join(bdir, cur)):
-            shutil.rmtree(os.path.join(bdir, cur), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+    # commit metadata: record the new snapshot, then expire versions beyond
+    # the retention window (prior versions stay readable via time travel)
+    _append_snapshot(table_path)
+    _gc_versions(table_path)
     if migrated_flat:
         # one-time cleanup: drop the legacy flat files now fully re-bucketed
+        # (NOT the snapshot log just written)
         for f in os.listdir(table_path):
             fp = os.path.join(table_path, f)
-            if os.path.isfile(fp):
+            if os.path.isfile(fp) and f != "_snapshots.jsonl":
                 os.remove(fp)

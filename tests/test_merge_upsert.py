@@ -94,3 +94,30 @@ def test_truncate(spark, tmp_warehouse):
     assert materialize.table_exists(t)
     materialize.truncate_table(t)
     assert not materialize.table_exists(t)
+
+
+def test_snapshot_time_travel(spark, tmp_warehouse):
+    """Iceberg-snapshot emulation: every merge commits a snapshot; reads
+    with snapshot=N reproduce the table as of that merge, within the
+    retention window."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=4)
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 99), ("c", 3)]), ["k"], n_buckets=4)
+    snaps = materialize.snapshots(t)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+
+    s1 = materialize.read_graph_table(spark, t, snapshot=1)
+    assert {(r["k"], r["v"]) for r in s1.collect()} == {("a", 1), ("b", 2)}
+    s2 = materialize.read_graph_table(spark, t, snapshot=2)
+    assert {(r["k"], r["v"]) for r in s2.collect()} == {("a", 99), ("b", 2), ("c", 3)}
+    # current read == latest snapshot
+    cur = materialize.read_graph_table(spark, t)
+    assert {(r["k"], r["v"]) for r in cur.collect()} == {("a", 99), ("b", 2), ("c", 3)}
+
+    # retention: after > SNAPSHOT_RETENTION more merges, snapshot 1 expires
+    for i in range(materialize.SNAPSHOT_RETENTION + 1):
+        materialize.merge_upsert(spark, t, _mk(spark, [(f"x{i}", i)]), ["k"], n_buckets=4)
+    import pytest
+
+    with pytest.raises(ValueError):
+        materialize.read_graph_table(spark, t, snapshot=1).collect()
