@@ -118,3 +118,48 @@ def test_stateful_running_counts_across_restart(spark, tmp_warehouse):
     )
     have = {r["company"]: r["total_mentions"] for r in latest.collect()}
     assert have == want
+
+
+def test_stream_build_graph_incremental_equals_batch(spark, tmp_warehouse):
+    """Full incremental KG build through Structured Streaming: two file
+    arrivals → same triples as one batch run (exactly-once merge)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from financial_knowledge_graphs_spark.operators import materialize
+    from financial_knowledge_graphs_spark.pipeline import (
+        PipelineConfig, graph_paths, run_pipeline,
+    )
+    from financial_knowledge_graphs_spark.streaming.incremental import (
+        stream_build_graph,
+    )
+
+    corpus = fixtures.corpus_df(spark, n_docs=160, seed=7).cache()
+    docs = fixtures.documents_df(corpus)
+    alias = fixtures.alias_dict_df(spark, max(20, 160 // 20), 7)
+    docs_dir = os.path.join(tmp_warehouse, "gdocs")
+    wh = os.path.join(tmp_warehouse, "gwh")
+    cp = os.path.join(tmp_warehouse, "gcp")
+
+    # first arrival: docs 0-79; second arrival: docs 80-159
+    docs.filter(F.col("doc_id") < "doc_00000080").write.mode("append").parquet(docs_dir)
+    q = stream_build_graph(spark, docs_dir, alias, wh, cp)
+    q.awaitTermination(300)
+    docs.filter(F.col("doc_id") >= "doc_00000080").write.mode("append").parquet(docs_dir)
+    q = stream_build_graph(spark, docs_dir, alias, wh, cp)
+    q.awaitTermination(300)
+
+    single = tempfile.mkdtemp(prefix="fkg_sbatch_")
+    try:
+        run_pipeline(spark, docs, alias, PipelineConfig(warehouse=single))
+        key = ["doc_id", "subj_name", "pred", "obj_name"]
+        a = materialize.read_graph_table(spark, graph_paths(wh)["triples"]).select(*key)
+        b = materialize.read_graph_table(spark, graph_paths(single)["triples"]).select(*key)
+        assert a.count() > 0
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    finally:
+        shutil.rmtree(single, ignore_errors=True)
+        corpus.unpersist()
