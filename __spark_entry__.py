@@ -369,6 +369,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star skew operator: explicit salted join — result multiset must
+    equal the plain join (the oracle IS the unsalted SQL join), while the
+    shuffle key (custkey, salt) spreads hot keys over `salt` reducers."""
+    from financial_knowledge_graphs_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return salted_join(o, c, ["custkey"], salt=8, how="inner")
+
+
+def kg_ops_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops plane (north rule: lineage + metrics tables): the pipeline's
+    recorded counter metrics must equal the GROUND-TRUTH corpus counts —
+    docs processed = GT docs, mentions = GT entity rows, triples = GT
+    triples, zero dropped endpoints."""
+    from financial_knowledge_graphs_spark.ops import OpsStore
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    ops = OpsStore(spark, os.path.join(root, "warehouse", "ops"))
+    keep = ["docs_processed", "mentions", "triples", "dropped_endpoint_rows"]
+    return ops.read("metrics").filter(F.col("name").isin(keep)).select(
+        "name", "value"
+    )
+
+
 def q_orders_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-dim equi-join + agg: revenue per nation."""
     c = _t(spark, sf_dir, "customer")
@@ -511,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": q_pricing_summary,
         "q_events_hourly": q_events_hourly,
         "q_orders_join_agg": q_orders_join_agg,
+        "q_salted_join": q_salted_join,
         # KG pipeline (fixture corpus; rows-only)
         "kg_triples": kg_triples,
         "kg_vertices": kg_vertices,
@@ -519,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_simhash_pairs": kg_simhash_pairs,
         "kg_lsh_ann": kg_lsh_ann,
         "kg_media_features": kg_media_features,
+        "kg_ops_metrics": kg_ops_metrics,
     }
 
 
@@ -658,6 +691,19 @@ def _kg_oracle_sql() -> dict[str, str]:
                                          i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
                   FROM p)
             SELECT id_a, id_b, hamming FROM h WHERE hamming <= 2
+        """,
+        # Expected-value oracle: the pipeline's recorded counter metrics
+        # must equal the ground-truth corpus counts.
+        "kg_ops_metrics": f"""
+            SELECT 'docs_processed' AS name,
+                   (SELECT count(*) FROM {gt_e})::DOUBLE AS value
+            UNION ALL
+            SELECT 'mentions',
+                   (SELECT count(*) FROM (SELECT unnest(entities) FROM {gt_e}))::DOUBLE
+            UNION ALL
+            SELECT 'triples', (SELECT count(*) FROM {gt_t})::DOUBLE
+            UNION ALL
+            SELECT 'dropped_endpoint_rows', 0.0
         """,
         # Expected-value oracle: the fixture corpus is built so a correct
         # extractor+evaluator scores EXACTLY 1.0 on every micro metric and
@@ -976,6 +1022,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_salted_join": """
+            SELECT o_custkey AS custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
     }
     out.update(_kg_oracle_sql())
