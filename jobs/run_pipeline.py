@@ -2,7 +2,7 @@
 
   spark-submit --py-files fkg.zip jobs/run_pipeline.py \
       --docs /path/documents --alias /path/alias_dict \
-      --warehouse /path/wh --run-id r1 [--batch-size 5000]
+      --warehouse /path/wh [--run-id r1 | --new-run] [--batch-size 5000]
 
 Also runnable as plain `python jobs/run_pipeline.py ...` (local mode).
 """
@@ -22,7 +22,10 @@ def main() -> None:
     ap.add_argument("--docs", required=True)
     ap.add_argument("--alias", required=True)
     ap.add_argument("--warehouse", required=True)
-    ap.add_argument("--run-id", default="run_1")
+    ap.add_argument("--run-id", default=None,
+                    help="default: continue the latest registered run")
+    ap.add_argument("--new-run", action="store_true",
+                    help="allocate the next run_id from the registry")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--min-tokens", type=int, default=250)
     ap.add_argument("--master", default=None)
@@ -34,14 +37,21 @@ def main() -> None:
     spark = get_spark("fkg-pipeline", master=args.master)
     docs = spark.read.parquet(args.docs)
     alias = spark.read.parquet(args.alias)
+    run_id = args.run_id
+    if args.new_run:
+        from financial_knowledge_graphs_spark.ops import OpsStore
+
+        run_id = OpsStore(spark, os.path.join(args.warehouse, "ops")).next_run_id()
     res = run_pipeline(
         spark, docs, alias,
         PipelineConfig(
-            warehouse=args.warehouse, run_id=args.run_id,
+            warehouse=args.warehouse, run_id=run_id,
             batch_size=args.batch_size, min_tokens=args.min_tokens,
         ),
     )
     print(json.dumps({
+        "run_id": res.extra.get("run_id"),
+        "docs_in": res.docs_in,
         "docs_processed": res.docs_processed,
         "mentions": res.mentions,
         "triples": res.triples,
