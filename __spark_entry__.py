@@ -516,6 +516,29 @@ def kg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics surface: per-entity in/out/total degree over the
+    materialized triples (oracle = the same roll-up over GT triples)."""
+    from financial_knowledge_graphs_spark.operators.graph import degree_table
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return degree_table(t)
+
+
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop path expansion (a)-[p1]->(b)-[p2]->(c) over the materialized
+    graph — the canonical-id self-join a co-located bucketed table runs
+    shuffle-free."""
+    from financial_knowledge_graphs_spark.operators.graph import two_hop
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return two_hop(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (testdata)
@@ -552,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lsh_ann": kg_lsh_ann,
         "kg_media_features": kg_media_features,
         "kg_ops_metrics": kg_ops_metrics,
+        "kg_degree": kg_degree,
+        "kg_two_hop": kg_two_hop,
     }
 
 
@@ -691,6 +716,21 @@ def _kg_oracle_sql() -> dict[str, str]:
                                          i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
                   FROM p)
             SELECT id_a, id_b, hamming FROM h WHERE hamming <= 2
+        """,
+        "kg_degree": f"""
+            WITH o AS (SELECT subj AS name, count(*) AS od FROM {gt_t} GROUP BY 1),
+            i AS (SELECT obj AS name, count(*) AS id_ FROM {gt_t} GROUP BY 1)
+            SELECT coalesce(o.name, i.name) AS name,
+                   coalesce(od, 0) AS out_degree,
+                   coalesce(id_, 0) AS in_degree,
+                   coalesce(od, 0) + coalesce(id_, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.name = i.name
+        """,
+        "kg_two_hop": f"""
+            SELECT DISTINCT e1.subj AS a, e1.pred AS p1, e1.obj AS b,
+                            e2.pred AS p2, e2.obj AS c
+            FROM {gt_t} e1 JOIN {gt_t} e2 ON e1.obj = e2.subj
+            WHERE e1.subj <> e2.obj
         """,
         # Expected-value oracle: the pipeline's recorded counter metrics
         # must equal the ground-truth corpus counts.
