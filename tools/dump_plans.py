@@ -23,7 +23,10 @@ PICK = [
     "q_orders_join_agg",       # broadcast dim join
     "q_top_orders_per_customer",  # window top-N
     "q_minhash_lsh",           # blocked pair join
+    "q_ngram_jaccard",         # ppjoin prefix filter (costliest bench query)
+    "q_embedding_neardup_lsh", # sign-LSH bucketed pair join
     "q_ann_topk",              # vector scoring + rank
+    "kg_degree",               # agg over the bucketed graph table
 ]
 
 
