@@ -192,6 +192,21 @@ def q_token_hist_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (GPT2-pre-tokenizer-shaped) token counting next to the
+    whitespace count — the LLM-cost-proxy pair a training pipeline needs."""
+    from financial_knowledge_graphs_spark.operators.text import (
+        bpe_token_count_expr, token_count_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr("text").cast("long").alias("ws_tokens"),
+        bpe_token_count_expr("text").cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.dedup import exact_duplicates
 
@@ -546,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_token_dist": q_token_dist,
         "q_token_hist_ref": q_token_hist_ref,
+        "q_bpe_token_count": q_bpe_token_count,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep_first": q_dedup_keep_first,
         "q_seeded_sample": q_seeded_sample,
@@ -865,6 +881,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT (floor({_TC} * 1.3) + 10)::BIGINT AS tc FROM documents)
             WHERE tc BETWEEN 0 AND 200
             GROUP BY 1
+        """,
+        "q_bpe_token_count": f"""
+            SELECT doc_id,
+                   len({_TOKENS.format(col='text')}) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))::BIGINT AS bpe_tokens
+            FROM documents
         """,
         "q_dedup_exact": """
             SELECT doc_id AS dup_id, keep_id

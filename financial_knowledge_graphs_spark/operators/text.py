@@ -40,6 +40,21 @@ def token_count_expr(text_col: str = "text") -> Column:
     return F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")))
 
 
+# GPT2-style pre-tokenizer shape, restricted to constructs Java regex and
+# RE2 (DuckDB) evaluate identically: contractions, space-prefixed letter /
+# digit runs, space-prefixed punctuation runs, residual whitespace runs
+# (which we drop from the count, like BPE treats them as glue).
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count_expr(text_col: str = "text") -> Column:
+    """BPE-ish token count: matches of the GPT2-shaped pre-tokenizer regex.
+    A far better LLM-cost proxy than whitespace words (punctuation and
+    contractions count separately); pure `regexp_extract_all`, JVM-side."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), F.lit(0)))
+
+
 def lang_score_expr(text_col: str, lang: str) -> Column:
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     s = None
