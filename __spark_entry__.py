@@ -327,6 +327,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantizer scale path, next to sign-LSH)."""
+    from financial_knowledge_graphs_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 row 17: resume anti-join pattern (customers w/o orders)."""
     c = _t(spark, sf_dir, "customer")
@@ -575,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
+        "q_ivf_ann": q_ivf_ann,
         "q_anti_join_resume": q_anti_join_resume,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q_status_counts": q_status_counts,
@@ -1039,6 +1048,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, item_id, round(c, 6) AS cosine,
                      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank
               FROM scored)
+            SELECT query_id, item_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_ivf_ann": """
+            WITH e AS (SELECT vec_id AS item_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            cents AS (SELECT item_id AS cell_id, v AS cv
+                      FROM e ORDER BY md5('ivf:' || item_id), item_id LIMIT 16),
+            cos AS (SELECT e.item_id, e.v, c.cell_id,
+                           list_dot_product(e.v, c.cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cd
+                    FROM e CROSS JOIN cents c),
+            items AS (SELECT item_id, v, cell_id
+                      FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+                                        ORDER BY cd DESC, cell_id ASC) AS cr FROM cos)
+                      WHERE cr = 1),
+            probes AS (SELECT item_id AS query_id, v AS v_q, cell_id
+                       FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+                                         ORDER BY cd DESC, cell_id ASC) AS cr FROM cos)
+                       WHERE cr <= 2 AND item_id < 10),
+            cand AS (SELECT p.query_id, i.item_id,
+                            any_value(p.v_q) AS v_q, any_value(i.v) AS v_i
+                     FROM items i JOIN probes p USING (cell_id)
+                     WHERE i.item_id <> p.query_id GROUP BY 1, 2),
+            scored AS (SELECT query_id, item_id,
+                              list_dot_product(v_q, v_i)
+                                / (sqrt(list_dot_product(v_q, v_q)) * sqrt(list_dot_product(v_i, v_i))) AS c
+                       FROM cand),
+            ranked AS (SELECT query_id, item_id, round(c, 6) AS cosine,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY c DESC, item_id ASC) AS rank
+                       FROM scored)
             SELECT query_id, item_id, cosine, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
         """,

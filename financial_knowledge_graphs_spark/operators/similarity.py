@@ -119,6 +119,66 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    alternative to sign-LSH (``lsh_topk``).
+
+    Coarse centroids are the ``n_cells`` corpus vectors with the smallest
+    md5(ivf:id) — a deterministic random sample, i.e. IVF with a
+    random-subset quantizer (the honest baseline; Lloyd refinement changes
+    the centroids, not the plan shape). Every item is assigned to its
+    nearest centroid (one broadcast join + per-item argmin — no shuffle);
+    a query probes its ``nprobe`` nearest cells; exact cosine re-ranks only
+    the items in probed cells. At 100 TB the cell id becomes the table's
+    partition key so a probe prunes partitions instead of filtering rows.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = (
+        e.withColumn("r", F.md5(F.concat(F.lit("ivf:"), F.col("item_id").cast("string"))))
+        .orderBy("r", "item_id")
+        .limit(n_cells)
+        .select(F.col("item_id").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    bc = F.broadcast(cents)
+
+    def cells_of(df: DataFrame, idc: str, n_keep: int) -> DataFrame:
+        scored = df.join(bc, how="cross").select(
+            idc, "v", "cell_id", cosine_expr(F.col("v"), F.col("cv")).alias("cd")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cd"), F.asc("cell_id"))
+        return (
+            scored.withColumn("cr", F.row_number().over(w))
+            .filter(F.col("cr") <= n_keep)
+            .select(idc, "v", "cell_id")
+        )
+
+    items = cells_of(e, "item_id", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    probes = cells_of(q, "query_id", nprobe).withColumnRenamed("v", "v_q")
+    cands = (
+        items.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", "v_q", F.col("v").alias("v_i"))
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cands.select(
+        "query_id", "item_id",
+        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 5) -> float:
     """Fraction of exact top-k pairs recovered by the approximate search."""
     e = exact.filter(F.col("rank") <= k).select("query_id", "item_id")
