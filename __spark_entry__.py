@@ -292,6 +292,14 @@ def q_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash minima) fingerprints — one row per
+    (doc, fingerprint); the blocking key for shared-substring detection."""
+    from financial_knowledge_graphs_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -578,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_embedding_neardup": q_embedding_neardup,
@@ -984,6 +993,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_transform(generate_series(1, len(toks)-2), i -> md5(array_to_string(toks[i:i+2], ' ')))
                         ELSE [md5(array_to_string(toks, ' '))] END) AS shingle_fp
             FROM t
+        """,
+        "q_winnow_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS.format(col='lower(trim(text))')} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks)-2), i -> md5(array_to_string(toks[i:i+2], ' ')))
+                      ELSE [md5(array_to_string(toks, ' '))] END AS hs
+                  FROM t),
+            m AS (SELECT doc_id,
+                    CASE WHEN len(hs) >= 4
+                      THEN list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))
+                      ELSE [list_min(hs)] END AS mins
+                  FROM h)
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
         """,
         "q_ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents),

@@ -133,3 +133,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.array_min(sh).alias("shingle_fp"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme):
+    hash every k-gram shingle, slide a ``window`` over the hash sequence,
+    keep the minimum of each window, emit the DISTINCT minima — guarantees
+    any shared run of ≥ window+k-1 tokens between two documents shares a
+    fingerprint. One row per (doc_id, fp): the natural join key for a
+    plagiarism/near-dup blocking pass (fp is the blocking key at scale).
+    Pure higher-order functions over the shingle-hash array — no UDF."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = F.filter(F.split(norm, r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    nh = F.size(hashes)
+    minima = F.when(
+        nh >= window,
+        F.transform(
+            F.sequence(F.lit(1), nh - (window - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
+    )
