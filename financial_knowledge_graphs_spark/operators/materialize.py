@@ -345,6 +345,34 @@ def read_graph_table(spark: SparkSession, table_path: str,
     return spark.read.parquet(*paths)
 
 
+def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
+                  values: tuple, n_buckets: int = DEFAULT_MERGE_BUCKETS) -> DataFrame:
+    """Point lookup with BUCKET PRUNING: hash the key values to their
+    bucket and read only that bucket's live version — a 1/n_buckets scan
+    instead of the whole table (Iceberg partition-pruned point read).
+    Falls back to a filtered full read on legacy flat dirs."""
+    import os
+
+    from functools import reduce
+
+    assert len(keys) == len(values)
+    cond_df = spark.range(1).select(
+        *[F.lit(v).alias(k) for k, v in zip(keys, values)]
+    )
+    b = cond_df.select(_bucket_expr(keys, n_buckets).alias("b")).first()["b"]
+    pred = reduce(
+        lambda a, c: a & c,
+        [F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(keys, values)],
+    )
+    bdir = os.path.join(table_path, f"bucket={b}")
+    if _bucket_dirs(table_path):
+        v = _current_version(bdir) if os.path.isdir(bdir) else None
+        if v is None or not os.path.isdir(os.path.join(bdir, v)):
+            return read_graph_table(spark, table_path).filter(pred).limit(0)
+        return spark.read.parquet(os.path.join(bdir, v)).filter(pred)
+    return spark.read.parquet(table_path).filter(pred)
+
+
 def truncate_table(table_path: str) -> None:
     """Drop all rows (SURVEY §2.6 row 44) — the reference's detach-delete
     teardown (reference src/db/neo4j_handler.py:356-360). Removing the

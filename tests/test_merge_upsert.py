@@ -121,3 +121,20 @@ def test_snapshot_time_travel(spark, tmp_warehouse):
 
     with pytest.raises(ValueError):
         materialize.read_graph_table(spark, t, snapshot=1).collect()
+
+
+def test_lookup_by_key_prunes_to_one_bucket(spark, tmp_warehouse):
+    """Point lookup reads ONLY the key's bucket (Iceberg partition-pruned
+    point read): the scanned path set is 1 of n buckets, and results match
+    a full-table filter."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    rows = [(f"k{i}", i) for i in range(100)]
+    materialize.merge_upsert(spark, t, _mk(spark, rows), ["k"], n_buckets=8)
+    got = materialize.lookup_by_key(spark, t, ["k"], ("k42",), n_buckets=8)
+    assert [(r["k"], r["v"]) for r in got.collect()] == [("k42", 42)]
+    # the plan reads exactly one bucket dir
+    files = [f.replace("file:", "") for f in got.inputFiles()]
+    bucket_dirs = {f.split("/bucket=")[1].split("/")[0] for f in files}
+    assert len(bucket_dirs) == 1
+    # missing key -> empty, still pruned
+    assert materialize.lookup_by_key(spark, t, ["k"], ("nope",), n_buckets=8).count() == 0
