@@ -84,7 +84,7 @@ def entry(spark: SparkSession) -> DataFrame:
     aggregated by acquirer, from the end-to-end KG pipeline output."""
     from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
 
-    root = ensure_fixture(spark, 200)
+    root = ensure_fixture(spark, 400)  # the committed correctness fixture
     triples = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
     return (
         triples.filter(F.col("pred") == "acquired")
