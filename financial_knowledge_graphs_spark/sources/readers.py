@@ -162,6 +162,24 @@ def articles_to_documents(articles: DataFrame) -> DataFrame:
     )
 
 
+def documents_to_articles(documents: DataFrame) -> DataFrame:
+    """Inverse of ``articles_to_documents``: interleaved-span documents →
+    the reference's flat CSV article shape (story = ordered text spans).
+    Lossy only for media spans (the CSV shape has nowhere to put them) —
+    round-trips exactly for text-only documents."""
+    from ..operators.prep import story_expr
+
+    return documents.select(
+        F.col("doc_id").alias("newsID"),
+        F.col("transmission_date").alias("transmissionDate"),
+        F.col("headline"),
+        story_expr("spans").alias("story"),
+        F.col("isin_tags").alias("isinTags"),
+        F.col("ticker_tags").alias("tickerTags"),
+        F.col("is_english").alias("isEnglish"),
+    )
+
+
 def read_extraction_dir(spark: SparkSession, path: str) -> DataFrame:
     """Directory-of-JSON scan (SURVEY §2.1 row 6): one extraction document
     per file, doc_id recovered from the filename stem — replaces

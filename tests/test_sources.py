@@ -201,3 +201,49 @@ def test_run_registry(spark, tmp_warehouse):
     assert ops.next_run_id() == "run_1"
     assert ops.next_run_id() == "run_2"
     assert ops.latest_run_id() == "run_2"
+
+
+def test_documents_articles_roundtrip(spark):
+    """articles → documents → articles is exact for text-only rows."""
+    from financial_knowledge_graphs_spark.sources.readers import (
+        articles_to_documents, documents_to_articles,
+    )
+
+    rows = [("a1", "2024-01-02", "Headline one", "Story text one.", "", "", True),
+            ("a2", "2024-02-03", "Headline two", "Story text two.", "i", "t", False)]
+    arts = spark.createDataFrame(
+        rows, "newsID string, transmissionDate string, headline string, "
+              "story string, isinTags string, tickerTags string, isEnglish boolean")
+    back = documents_to_articles(articles_to_documents(arts))
+    assert sorted(back.collect()) == sorted(arts.collect())
+
+
+def test_neo4j_admin_export(spark, tmp_warehouse, small_corpus):
+    """Bulk-import CSV export: neo4j-admin headers, referentially intact."""
+    import os
+
+    from financial_knowledge_graphs_spark import fixtures as fx
+    from financial_knowledge_graphs_spark.pipeline import PipelineConfig, run_pipeline
+    from financial_knowledge_graphs_spark.sources.export import export_neo4j_admin_csv
+
+    docs = fx.documents_df(small_corpus)
+    alias = fx.alias_dict_df(spark, 20, 42)
+    run_pipeline(spark, docs, alias, PipelineConfig(warehouse=tmp_warehouse))
+    out = os.path.join(tmp_warehouse, "neo4j_export")
+    counts = export_neo4j_admin_csv(spark, tmp_warehouse, out)
+    assert counts["nodes"] > 0 and counts["relationships"] > 0
+
+    nodes = spark.read.option("header", True).csv(os.path.join(out, "nodes"))
+    rels = spark.read.option("header", True).csv(os.path.join(out, "relationships"))
+    assert "entity_id:ID" in nodes.columns and ":LABEL" in nodes.columns
+    assert {":START_ID", ":END_ID", ":TYPE"} <= set(rels.columns)
+    assert nodes.count() == counts["nodes"]
+    assert rels.count() == counts["relationships"]
+    # referential integrity: every endpoint resolves to an exported node
+    ids = nodes.select(F.col("entity_id:ID").alias("id"))
+    dangling = (
+        rels.select(F.col(":START_ID").alias("id")).union(
+            rels.select(F.col(":END_ID").alias("id")))
+        .join(ids, "id", "left_anti").count()
+    )
+    assert dangling == 0
