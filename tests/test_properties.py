@@ -1,0 +1,112 @@
+"""Property-style tests: randomized (seeded, deterministic) inputs checked
+against independent pure-Python models — the round-1 normalization-twin
+pattern extended to the round-2 operators."""
+
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from financial_knowledge_graphs_spark.operators import materialize
+
+
+def test_merge_upsert_model_based(spark, tmp_warehouse):
+    """Random sequence of upsert/delete batches == a dict model.
+    Exercises bucket installs, delete-emptied buckets, key collisions,
+    and replays across 6 merges."""
+    rng = random.Random(1234)
+    t = os.path.join(tmp_warehouse, "tbl")
+    model: dict[str, int] = {}
+    keyspace = [f"k{i}" for i in range(60)]
+
+    for step in range(6):
+        ups = {rng.choice(keyspace): rng.randrange(1000) for _ in range(rng.randrange(1, 15))}
+        dels = {rng.choice(keyspace) for _ in range(rng.randrange(0, 5))} - set(ups)
+        up_df = spark.createDataFrame(list(ups.items()), "k string, v long")
+        del_df = (
+            spark.createDataFrame([(d,) for d in dels], "k string") if dels else None
+        )
+        materialize.merge_upsert(spark, t, up_df, ["k"], n_buckets=4, deletes=del_df)
+        if rng.random() < 0.3:  # crash-replay: re-deliver the same batch
+            materialize.merge_upsert(spark, t, up_df, ["k"], n_buckets=4)
+        model.update(ups)
+        for d in dels:
+            model.pop(d, None)
+        # the replay is a no-op on the model: same keys, same values, and
+        # its key set is disjoint from this batch's deletes
+
+        got = {r["k"]: r["v"] for r in materialize.read_graph_table(spark, t).collect()}
+        assert got == model, f"divergence at step {step}"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing property (Schleimer et al. theorem): two documents sharing
+    a run of >= window+k-1 tokens share at least one fingerprint. Batch of
+    randomized doc pairs checked in ONE Spark job."""
+    from financial_knowledge_graphs_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(77)
+    k, window = 3, 4
+    run_len = window + k - 1  # 6 tokens guaranteed-shared run
+    rows = []
+    for i in range(20):
+        shared = [f"s{i}_{j}" for j in range(run_len + rng.randrange(0, 4))]
+        a = [f"a{i}_{j}" for j in range(rng.randrange(0, 10))] + shared + [
+            f"az{i}_{j}" for j in range(rng.randrange(0, 10))]
+        b = [f"b{i}_{j}" for j in range(rng.randrange(0, 10))] + shared + [
+            f"bz{i}_{j}" for j in range(rng.randrange(0, 10))]
+        rows.append((f"a{i}", " ".join(a), i))
+        rows.append((f"b{i}", " ".join(b), i))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, pair int")
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    with_pair = fps.join(docs.select("doc_id", "pair"), "doc_id")
+    hits = (
+        with_pair.alias("x").join(
+            with_pair.alias("y"),
+            (F.col("x.pair") == F.col("y.pair"))
+            & (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.pair").distinct().count()
+    )
+    assert hits == 20, f"only {hits}/20 pairs share a fingerprint"
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """CC on random graphs == a pure-Python union-find twin (both the
+    driver path and the distributed path)."""
+    from financial_knowledge_graphs_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(5)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+        for _ in range(90)
+    ]
+    edges = [e for e in set(edges) if e[0] != e[1]]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    want = {n: find(n) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "key string")
+    edf = spark.createDataFrame(edges, "key_a string, key_b string")
+    for threshold in (2_000_000, 0):  # driver union-find AND distributed path
+        got = {
+            r["key"]: r["comp"]
+            for r in connected_components(ndf, edf, driver_threshold=threshold).collect()
+        }
+        assert got == want, f"threshold={threshold}"
