@@ -342,6 +342,12 @@ def read_graph_table(spark: SparkSession, table_path: str,
         v = _current_version(bdir)
         if v is not None and os.path.isdir(os.path.join(bdir, v)):
             paths.append(os.path.join(bdir, v))
+    if not paths:
+        # possible only mid-crash (bucket dirs created, no pointer yet) or
+        # when every bucket was delete-emptied; surface it clearly
+        raise ValueError(
+            f"{table_path}: bucket layout present but no readable versions"
+        )
     return spark.read.parquet(*paths)
 
 

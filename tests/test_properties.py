@@ -19,9 +19,15 @@ def test_merge_upsert_model_based(spark, tmp_warehouse):
     model: dict[str, int] = {}
     keyspace = [f"k{i}" for i in range(60)]
 
-    for step in range(6):
-        ups = {rng.choice(keyspace): rng.randrange(1000) for _ in range(rng.randrange(1, 15))}
-        dels = {rng.choice(keyspace) for _ in range(rng.randrange(0, 5))} - set(ups)
+    for step in range(7):
+        if step == 6:  # delete-only batch (no upserts at all)
+            ups = {}
+            pool = list(model) or keyspace
+            dels = {rng.choice(pool) for _ in range(3)}
+        else:
+            ups = {rng.choice(keyspace): rng.randrange(1000)
+                   for _ in range(rng.randrange(1, 15))}
+            dels = {rng.choice(keyspace) for _ in range(rng.randrange(0, 5))} - set(ups)
         up_df = spark.createDataFrame(list(ups.items()), "k string, v long")
         del_df = (
             spark.createDataFrame([(d,) for d in dels], "k string") if dels else None
