@@ -60,8 +60,13 @@ _DEBT_TAIL = re.compile(r", holding notes worth \$(\d+(?:\.\d+)?) (million|billi
 
 _UNIT = {"million": 1e6, "billion": 1e9}
 
-# per-worker-process gazetteer memo, keyed by broadcast id (see extract_udf)
+# per-worker-process gazetteer memo, keyed by broadcast id (see extract_udf).
+# Small BOUNDED cache (not single-entry): two concurrent jobs with different
+# alias dicts interleaving in one reused worker would otherwise evict each
+# other every task and rebuild the O(alias-dict) index per task — the thrash
+# the cache exists to avoid (review finding r2-10).
 _GAZ_CACHE: dict = {}
+_GAZ_CACHE_MAX = 4
 
 
 class Gazetteer:
@@ -206,12 +211,14 @@ def make_extract_udf(spark: SparkSession, alias_dict: DataFrame):
         # module-level name, so cloudpickle references it through the module
         # import — one dict per worker; with worker reuse the index for a
         # 10^5-row alias dict is built once per core, not once per task.
-        # Single-entry cache: a long-lived worker serving many pipeline runs
+        # Bounded cache: a long-lived worker serving many pipeline runs
         # (streaming restarts) must not accumulate one O(alias-dict) index
-        # per make_extract_udf call (ADVICE r1) — evict before inserting.
+        # per make_extract_udf call (ADVICE r1) — FIFO-evict beyond
+        # _GAZ_CACHE_MAX entries (dicts preserve insertion order).
         gaz = _GAZ_CACHE.get(bid)
         if gaz is None:
-            _GAZ_CACHE.clear()
+            while len(_GAZ_CACHE) >= _GAZ_CACHE_MAX:
+                _GAZ_CACHE.pop(next(iter(_GAZ_CACHE)))
             gaz = _GAZ_CACHE[bid] = Gazetteer(bc.value)
         for stories in batches:
             yield pd.Series(

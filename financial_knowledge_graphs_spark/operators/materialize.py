@@ -82,15 +82,15 @@ def canonical_mapping(mentions: DataFrame, max_block: int = 1000,
 
 def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
     """One row per canonical entity; representative surface = most-mentioned
-    name (count desc, name asc tiebreak — deterministic), attributes =
+    name (count desc, name desc tiebreak — deterministic), attributes =
     most-frequent non-null per column (batch form of the reference's
     last-writer-wins attribute refresh, reference src/db/neo4j_handler.py:188-216).
+
+    ``mentions`` is whatever universe the caller canonicalized — the
+    resumable pipeline passes its full surface_mentions ledger, so counts
+    here are cumulative AND replay-safe by construction (the ledger is a
+    keyed idempotent merge; review findings r2-3/r2-7).
     """
-    if "weight" not in mentions.columns:
-        # plain batch: every mention row counts once; resumed pipelines pass
-        # weight = prior n_mentions so counts stay CUMULATIVE across batches
-        # (VERDICT r1 "what's wrong" #5)
-        mentions = mentions.withColumn("weight", F.lit(1).cast("long"))
     m = mentions.join(
         mapping.select("type", "name", "comp", "entity_id", "norm"),
         ["type", "name"],
@@ -98,7 +98,7 @@ def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
     # two-level agg: per-surface counts first (partial agg map-side), then
     # max_by(count, surface) per entity — deterministic via name tiebreak.
     per_surface = m.groupBy("entity_id", "type", "name").agg(
-        F.sum("weight").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.first("norm").alias("norm"),
         F.first("companyName", ignorenulls=True).alias("companyName"),
         F.first("ticker", ignorenulls=True).alias("ticker"),
@@ -225,6 +225,27 @@ def _current_version(bucket_dir: str) -> str | None:
     return v or None
 
 
+def _next_version(bucket_dir: str) -> str:
+    """Next free version name: max over EXISTING v_* dirs and the CURRENT
+    pointer, +1. Scanning the dirs (not just CURRENT+1) makes replay after
+    a crash between the version-dir rename and the pointer swap safe — the
+    orphaned dir is skipped instead of colliding with the rename."""
+    import os
+
+    nums = [0]
+    cur = _current_version(bucket_dir)
+    if cur:
+        nums.append(int(cur[2:]))
+    if os.path.isdir(bucket_dir):
+        for d in os.listdir(bucket_dir):
+            if d.startswith("v_"):
+                try:
+                    nums.append(int(d[2:]))
+                except ValueError:
+                    pass
+    return f"v_{max(nums) + 1:07d}"
+
+
 def _set_current(bucket_dir: str, version: str) -> None:
     """Atomic pointer swap: write a temp file, os.replace onto CURRENT."""
     import os
@@ -240,6 +261,31 @@ def _set_current(bucket_dir: str, version: str) -> None:
 SNAPSHOT_RETENTION = 3  # version dirs kept per bucket (time-travel window)
 
 
+def _write_schema(table_path: str, schema) -> None:
+    """Persist the table schema (Iceberg keeps it in metadata; we need it to
+    read legitimately-empty tables and to type point-lookup literals)."""
+    import json
+    import os
+
+    tmp = os.path.join(table_path, "._SCHEMA.tmp")
+    with open(tmp, "w") as f:
+        json.dump(schema.jsonValue(), f)
+    os.replace(tmp, os.path.join(table_path, "_SCHEMA"))
+
+
+def _read_schema(table_path: str):
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(table_path, "_SCHEMA")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return StructType.fromJson(json.load(f))
+
+
 def _append_snapshot(table_path: str) -> int:
     """Record the table's full bucket→version map as a new snapshot (one
     JSON line in _snapshots.jsonl — the emulation of Iceberg's snapshot
@@ -250,8 +296,14 @@ def _append_snapshot(table_path: str) -> int:
 
     state = {}
     for b in _bucket_dirs(table_path):
-        v = _current_version(os.path.join(table_path, b))
-        if v:
+        bdir = os.path.join(table_path, b)
+        v = _current_version(bdir)
+        # record only versions whose dir EXISTS at commit time: a
+        # delete-emptied bucket's pointer names a dir that was never created
+        # (empty-bucket tombstone) — recording it would make time travel of
+        # this very snapshot report 'expired' (review finding r2-4). An
+        # omitted bucket reads as empty, which is exactly its state.
+        if v and os.path.isdir(os.path.join(bdir, v)):
             state[b] = v
     log = os.path.join(table_path, "_snapshots.jsonl")
     sid = 1
@@ -302,7 +354,9 @@ def table_exists(table_path: str) -> bool:
     import os
 
     return os.path.isdir(table_path) and (
-        bool(_bucket_dirs(table_path)) or any(
+        bool(_bucket_dirs(table_path))
+        or os.path.exists(os.path.join(table_path, "_SCHEMA"))
+        or any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
         )
     )
@@ -319,6 +373,12 @@ def read_graph_table(spark: SparkSession, table_path: str,
 
     buckets = _bucket_dirs(table_path)
     if not buckets:
+        if os.path.isdir(table_path) and not any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
+        ):
+            schema = _read_schema(table_path)
+            if schema is not None:  # committed zero-row table
+                return spark.createDataFrame([], schema)
         return spark.read.parquet(table_path)
     if snapshot is not None:
         snap = next(
@@ -343,8 +403,11 @@ def read_graph_table(spark: SparkSession, table_path: str,
         if v is not None and os.path.isdir(os.path.join(bdir, v)):
             paths.append(os.path.join(bdir, v))
     if not paths:
-        # possible only mid-crash (bucket dirs created, no pointer yet) or
-        # when every bucket was delete-emptied; surface it clearly
+        # every bucket delete-emptied (pointers name tombstone versions) —
+        # a legitimate empty table, readable via the persisted schema
+        schema = _read_schema(table_path)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         raise ValueError(
             f"{table_path}: bucket layout present but no readable versions"
         )
@@ -362,13 +425,25 @@ def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
     from functools import reduce
 
     assert len(keys) == len(values)
+    # xxhash64 is TYPE-sensitive (int32 and int64 hash differently), so a
+    # Python literal must be cast to the table column's declared type before
+    # bucketing — otherwise the lookup scans the wrong bucket and silently
+    # returns nothing (review finding r2-6). The type comes from the _SCHEMA
+    # marker every merge persists.
+    schema = _read_schema(table_path)
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
+
+    def lit_of(k, v):
+        c = F.lit(v)
+        return c.cast(types[k]) if k in types else c
+
     cond_df = spark.range(1).select(
-        *[F.lit(v).alias(k) for k, v in zip(keys, values)]
+        *[lit_of(k, v).alias(k) for k, v in zip(keys, values)]
     )
     b = cond_df.select(_bucket_expr(keys, n_buckets).alias("b")).first()["b"]
     pred = reduce(
         lambda a, c: a & c,
-        [F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(keys, values)],
+        [F.col(k).eqNullSafe(lit_of(k, v)) for k, v in zip(keys, values)],
     )
     bdir = os.path.join(table_path, f"bucket={b}")
     if _bucket_dirs(table_path):
@@ -436,11 +511,18 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                 spark.read.parquet(*paths).withColumn("__bucket", _bucket_expr(keys, n_buckets))
                 if paths else None
             )
-        else:
+        elif any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
+        ):
             touched = list(range(n_buckets))  # migrate: rewrite everything once
             existing = spark.read.parquet(table_path).withColumn(
                 "__bucket", _bucket_expr(keys, n_buckets)
             )
+        else:
+            # committed zero-row table (schema marker only): behaves like a
+            # first write — install every staged bucket
+            touched = None
+            existing = None
         if existing is not None:
             # NULL-SAFE key equality: merge keys include nullable columns
             # (percentage / transactionDate on triples); a plain anti-join's
@@ -484,8 +566,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
             continue  # defensive; staged buckets always ⊆ touched ∪ first-write
         bdir = os.path.join(table_path, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        cur = _current_version(bdir)
-        nxt = f"v_{(int(cur[2:]) + 1) if cur else 1:07d}"
+        nxt = _next_version(bdir)
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
         _set_current(bdir, nxt)
         installed.add(b)
@@ -497,18 +578,18 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         bdir = os.path.join(table_path, f"bucket={b}")
         if b in installed or not os.path.isdir(bdir):
             continue
-        cur = _current_version(bdir)
-        nxt = f"v_{(int(cur[2:]) + 1) if cur else 1:07d}"
-        _set_current(bdir, nxt)
+        _set_current(bdir, _next_version(bdir))
     shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
+    _write_schema(table_path, merged.drop("__bucket").schema)
     # commit metadata: record the new snapshot, then expire versions beyond
     # the retention window (prior versions stay readable via time travel)
     _append_snapshot(table_path)
     _gc_versions(table_path)
     if migrated_flat:
         # one-time cleanup: drop the legacy flat files now fully re-bucketed
-        # (NOT the snapshot log just written)
+        # (NOT the metadata just written)
         for f in os.listdir(table_path):
             fp = os.path.join(table_path, f)
-            if os.path.isfile(fp) and f != "_snapshots.jsonl":
+            if os.path.isfile(fp) and f not in ("_snapshots.jsonl", "_SCHEMA"):
                 os.remove(fp)

@@ -64,6 +64,9 @@ def graph_paths(warehouse: str) -> dict[str, str]:
     return {
         "vertices": os.path.join(warehouse, "graph", "vertices"),
         "triples": os.path.join(warehouse, "graph", "triples"),
+        # idempotent per-(doc, surface) mention ledger: the source of truth
+        # for cumulative n_mentions (keyed merge absorbs crash-replay)
+        "surface_mentions": os.path.join(warehouse, "graph", "surface_mentions"),
     }
 
 
@@ -141,27 +144,34 @@ def run_pipeline(
     mentions = extract.mentions_df(extracted)
     raw_triples = extract.raw_triples_df(extracted)
 
-    # ---- global canonicalization ------------------------------------------
+    # ---- global canonicalization over the mention LEDGER -------------------
+    # surface_mentions is an idempotent per-(doc, surface) ledger (keyed
+    # merge: a crash anywhere downstream replays this batch into a no-op, so
+    # nothing derived from the ledger can double-count — review finding
+    # r2-3). The post-merge ledger IS the mention universe: every surface
+    # ever seen participates in linking (the reference's link-against-the-
+    # whole-DB semantics, neo4j_handler.py:70-134) and per-surface counts /
+    # rep selection are exact across batches (review finding r2-7 — round
+    # 2's prior-vertex fold-in collapsed historical counts onto the rep
+    # surface). name_keys collapses the ledger to distinct surfaces
+    # immediately, so the extra cost is one bucketed-table scan per batch.
     paths = graph_paths(cfg.warehouse)
-    # new-batch mentions weigh 1; prior vertex rows carry their accumulated
-    # n_mentions as weight so counts stay cumulative across resumed batches
-    mention_universe = mentions.withColumn("weight", F.lit(1).cast("long"))
+    materialize.merge_upsert(
+        spark, paths["surface_mentions"],
+        mentions.select(
+            "doc_id", "type", "name",
+            "companyName", "ticker", "industry", "country",
+        ).dropDuplicates(["doc_id", "type", "name"]),
+        ["doc_id", "type", "name"],
+    )
+    mention_universe = materialize.read_graph_table(
+        spark, paths["surface_mentions"]
+    ).withColumn("local_id", F.lit(None).cast("string"))
     prior_vertices = None
     if materialize.table_exists(paths["vertices"]):
-        # fold previously-materialized surfaces into the linking graph so new
-        # aliases merge with existing canonical entities (insert-time
-        # disambiguation semantics, reference neo4j_handler.py:70-134)
+        # prior vertices are needed only to detect retired canonical ids
+        # (tombstones below); the ledger already carries their surfaces
         prior_vertices = materialize.read_graph_table(spark, paths["vertices"])
-        prior = prior_vertices.select(
-            "type", "name",
-            F.lit(None).cast("string").alias("doc_id"),
-            F.lit(None).cast("string").alias("local_id"),
-            "companyName", "ticker", "industry", "country",
-            F.col("n_mentions").alias("weight"),
-        )
-        mention_universe = mention_universe.unionByName(
-            prior, allowMissingColumns=True
-        )
     mapping = materialize.canonical_mapping(
         mention_universe, max_block=cfg.max_block,
         embedding_link=cfg.embedding_link,

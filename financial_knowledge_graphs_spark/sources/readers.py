@@ -77,11 +77,18 @@ def _read_xlsx_minimal(path: str) -> list[dict[str, str]]:
             for si in root.findall("m:si", ns):
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
-        sheet_name = next(
-            n for n in sorted(z.namelist())
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        # numeric sheet ordering (lexicographic sorts sheet10 before sheet2 —
+        # review finding r2-9); a workbook whose tabs were reordered in Excel
+        # still needs workbook.xml+rels for the true first tab, which is out
+        # of scope for the config-sized sheets this reader targets
+        sheets = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
-        root = ET.fromstring(z.read(sheet_name))
+        if not sheets:
+            raise ValueError(f"{path}: no worksheet XML found")
+        root = ET.fromstring(z.read(sheets[0]))
 
     def col_idx(ref: str) -> int:
         letters = "".join(ch for ch in ref if ch.isalpha())
@@ -287,12 +294,16 @@ def flat_to_extraction_expr(content_col) -> F.Column:
     (ids E1..), relationships reference those ids; attributes null (the flat
     prompts carry none). Pure Catalyst — array_distinct preserves first
     appearance, array_position recovers the id."""
-    arr = flat_triples_expr(content_col)
-    names = F.filter(
-        F.array_distinct(
-            F.flatten(F.transform(arr, lambda t: F.array(t["subject"], t["object"])))
-        ),
-        lambda x: x.isNotNull() & (x != ""),
+    # drop triples with a null/empty endpoint FIRST: they have no entity to
+    # reference, and keeping them would emit dangling 'E0'/null source ids
+    # (review finding r2-8)
+    arr = F.filter(
+        flat_triples_expr(content_col),
+        lambda t: t["subject"].isNotNull() & (t["subject"] != "")
+        & t["object"].isNotNull() & (t["object"] != ""),
+    )
+    names = F.array_distinct(
+        F.flatten(F.transform(arr, lambda t: F.array(t["subject"], t["object"])))
     )
     ent_id = lambda name: F.concat(
         F.lit("E"), F.array_position(names, name).cast("string")

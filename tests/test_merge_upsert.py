@@ -138,3 +138,63 @@ def test_lookup_by_key_prunes_to_one_bucket(spark, tmp_warehouse):
     assert len(bucket_dirs) == 1
     # missing key -> empty, still pruned
     assert materialize.lookup_by_key(spark, t, ["k"], ("nope",), n_buckets=8).count() == 0
+
+
+def test_crash_orphan_version_replay(spark, tmp_warehouse):
+    """Review r2-1: a crash between the version-dir rename and the pointer
+    swap leaves an orphan v_N dir; the replayed merge must skip it, not
+    collide with ENOTEMPTY."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=2)
+    # simulate the crash window: orphan next-version dir, pointer unmoved
+    bdir = next(os.path.join(t, d) for d in os.listdir(t) if d.startswith("bucket="))
+    os.makedirs(os.path.join(bdir, "v_0000002"))
+    open(os.path.join(bdir, "v_0000002", "orphan.parquet"), "wb").write(b"junk")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 7)]), ["k"], n_buckets=2)
+    got = {r["k"]: r["v"] for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a": 7}
+
+
+def test_empty_first_merge_then_rows(spark, tmp_warehouse):
+    """Review r2-2: a zero-row first merge must commit a readable empty
+    table (schema marker), and a later real merge must build on it."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    empty = spark.createDataFrame([], "k string, v long")
+    materialize.merge_upsert(spark, t, empty, ["k"], n_buckets=4)
+    assert materialize.table_exists(t)
+    assert materialize.read_graph_table(spark, t).count() == 0
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=4)
+    assert materialize.read_graph_table(spark, t).count() == 1
+
+
+def test_time_travel_with_tombstoned_bucket(spark, tmp_warehouse):
+    """Review r2-4/5: a snapshot taken right after a delete-emptied bucket
+    must stay readable (bucket reads empty), and a fully-emptied table
+    reads as zero rows via the schema marker."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=2)
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([], "k string, v long"), ["k"],
+        n_buckets=2, deletes=_mk(spark, [("a", 1)]).select("k"),
+    )
+    snaps = materialize.snapshots(t)
+    latest = snaps[-1]["snapshot_id"]
+    asof = materialize.read_graph_table(spark, t, snapshot=latest)
+    assert {r["k"] for r in asof.collect()} == {"b"}
+    # empty the whole table
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([], "k string, v long"), ["k"],
+        n_buckets=2, deletes=_mk(spark, [("b", 2)]).select("k"),
+    )
+    assert materialize.read_graph_table(spark, t).count() == 0
+
+
+def test_lookup_by_key_typed_literals(spark, tmp_warehouse):
+    """Review r2-6: point lookup on a bigint key must cast the Python int
+    literal to the column type before bucket hashing."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, s string")
+    materialize.merge_upsert(spark, t, df, ["id"], n_buckets=8)
+    for probe in (5, 42):
+        got = materialize.lookup_by_key(spark, t, ["id"], (probe,), n_buckets=8).collect()
+        assert [(r["id"], r["s"]) for r in got] == [(probe, f"v{probe}")]

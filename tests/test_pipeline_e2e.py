@@ -133,5 +133,12 @@ def test_crash_between_materialize_and_checkpoint_converges(spark, small_corpus,
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+        # replay must NOT inflate cumulative mention counts (review r2-3:
+        # the surface_mentions ledger absorbs the re-delivered batch)
+        vkey = ["entity_id", "companyName", "n_mentions"]
+        va = materialize.read_graph_table(spark, graph_paths(tmp_warehouse)["vertices"]).select(*vkey)
+        vb = materialize.read_graph_table(spark, graph_paths(clean_wh)["vertices"]).select(*vkey)
+        assert va.exceptAll(vb).count() == 0
+        assert vb.exceptAll(va).count() == 0
     finally:
         shutil.rmtree(clean_wh, ignore_errors=True)

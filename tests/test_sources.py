@@ -247,3 +247,21 @@ def test_neo4j_admin_export(spark, tmp_warehouse, small_corpus):
         .join(ids, "id", "left_anti").count()
     )
     assert dangling == 0
+
+
+def test_flat_triples_drop_dangling_endpoints(spark):
+    """Review r2-8: triples with empty/null endpoints are dropped, never
+    emitted as dangling E0/null references."""
+    from financial_knowledge_graphs_spark.sources.readers import flat_to_extraction_expr
+
+    df = spark.createDataFrame(
+        [("d", '[{"subject": "", "relation": "owns", "object": "Acme"},'
+               ' {"subject": "Beta", "relation": "owns", "object": null},'
+               ' {"subject": "Beta", "relation": "owns", "object": "Acme"}]')],
+        "doc_id string, content string",
+    ).withColumn("x", flat_to_extraction_expr("content"))
+    row = df.first()["x"]
+    assert [e["name"] for e in row["entities"]] == ["Beta", "Acme"]
+    assert len(row["relationships"]) == 1
+    assert row["relationships"][0]["source"] == "E1"
+    assert row["relationships"][0]["target"] == "E2"
