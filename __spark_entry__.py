@@ -4,13 +4,17 @@
 fixture corpus (the BASELINE.json input shape, synthesized at small scale).
 
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
-the training-data operators). Two groups:
-- ``q_*``  : run on the driver's testdata parquet tables and have exact
-  DuckDB oracles in ``oracle_sql()`` (hashing is md5-based everywhere so
-  both engines compute identical values);
-- ``kg_*`` : run on the synthesized interleaved-document corpus (not
-  registered in DuckDB) → rows-only checks; their correctness gate is the
-  pytest suite (triple P/R ≥ 0.95, evaluator parity, resume).
+the training-data operators). EVERY query has an exact DuckDB oracle in
+``oracle_sql()`` (round-1 left the kg_* rows oracle-less):
+- ``q_*``  : run on the driver's testdata parquet tables; oracles are SQL
+  twins (hashing is md5-based everywhere so both engines compute identical
+  values);
+- ``kg_*`` : run on the deterministic interleaved-document fixture corpus
+  COMMITTED under .fixtures/corpus_n400_s42/; the strongest oracles compare
+  pipeline output against the fixture's by-construction GROUND TRUTH
+  (kg_triples / kg_vertices / kg_ops_metrics / kg_degree / kg_two_hop), so
+  the driver's hash match IS the P/R parity gate. The pytest suite
+  additionally gates resume idempotence and evaluator parity.
 """
 
 from __future__ import annotations
