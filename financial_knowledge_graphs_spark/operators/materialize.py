@@ -2,9 +2,13 @@
 
 Replaces the reference Neo4j sink (per-entity MERGE + per-attribute SET loops
 over bolt — reference src/db/neo4j_handler.py:218-290) with set-oriented
-DataFrame builds plus an idempotent key-based upsert into parquet tables
-(the local stand-in for Iceberg ``MERGE INTO``; the write path is isolated in
-``merge_upsert`` so an Iceberg catalog swap is a one-function change).
+DataFrame builds plus a PARTITION-SCOPED idempotent upsert into hash-bucketed
+parquet tables: per-bucket version dirs + atomic CURRENT pointer swaps,
+WHEN MATCHED DELETE tombstones, a snapshot log with time travel + retention
+GC, and bucket-pruned point lookups — the full Iceberg ``MERGE INTO``
+semantics emulated on plain parquet (no table-format jars exist in this
+container; the write path is isolated in ``merge_upsert`` so a real Iceberg
+catalog swap is a one-function change).
 
 Semantics preserved from the reference:
 - entity ids namespaced per doc before linking ({file}_{id},
