@@ -119,6 +119,41 @@ def extract_features(media: DataFrame, fake: bool = True,
     return media.mapInPandas(run, FEATURES)
 
 
+def resize(media: DataFrame, width: int = 32, height: int = 32,
+           fake: bool = True, batch_hint: int = 256) -> DataFrame:
+    """Resize plumbing for image payloads: mapInPandas over Arrow batches,
+    emitting a new payload + updated width/height metadata. The pixel-level
+    resample is stubbed like every codec here (``fake=True`` derives a
+    deterministic payload of the target size from the source digest;
+    fake=False raises at the decode site) — schema, batching, and metadata
+    propagation are the real, tested parts; a real codec replaces only the
+    body of ``_resize_bytes``."""
+
+    def _resize_bytes(payload: bytes, w: int, h: int, fake_: bool) -> bytes:
+        if not fake_:
+            raise NotImplementedError(
+                "real image resize requires codecs not present in this "
+                "container; run with fake=True or install codecs"
+            )
+        h0 = hashlib.sha256((payload or b"") + f":{w}x{h}".encode()).digest()
+        reps = (w * h * 3) // len(h0) + 1
+        return (h0 * reps)[: w * h * 3]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_bytes(p, width, height, fake) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            out["width"] = [width if img else w for w, img in zip(pdf["width"], is_img)]
+            out["height"] = [height if img else h for h, img in zip(pdf["height"], is_img)]
+            yield out
+
+    return media.mapInPandas(run, MEDIA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per sampled
     frame index (duration-driven). Decode stubbed like extract_features."""

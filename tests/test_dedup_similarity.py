@@ -155,3 +155,35 @@ def test_ivf_topk_recall(spark):
         ["query_id", "item_id"], "left"
     ).filter("exact_cos IS NOT NULL AND abs(cosine - exact_cos) > 1e-9")
     assert joined.count() == 0
+
+
+def test_multimodal_resize_and_frame_sample(spark, small_corpus):
+    """Resize updates image payload + dimensions (non-images untouched);
+    frame sampling emits duration-driven frame indices."""
+    from pyspark.sql import functions as F
+
+    from financial_knowledge_graphs_spark import fixtures
+    from financial_knowledge_graphs_spark.operators import multimodal
+
+    media = multimodal.media_table(fixtures.documents_df(small_corpus))
+    resized = multimodal.resize(media, width=16, height=16, fake=True)
+    imgs = resized.filter(F.col("kind") == "image")
+    row = imgs.first()
+    assert row["width"] == 16 and row["height"] == 16
+    assert len(row["payload"]) == 16 * 16 * 3
+    # deterministic: same input -> same resized bytes
+    again = multimodal.resize(media, width=16, height=16, fake=True).filter(
+        F.col("media_ref") == row["media_ref"]
+    ).first()
+    assert bytes(again["payload"]) == bytes(row["payload"])
+    # non-image rows pass through untouched
+    tbl = resized.filter(F.col("kind") == "table").first()
+    src = media.filter(F.col("media_ref") == tbl["media_ref"]).first()
+    assert bytes(tbl["payload"]) == bytes(src["payload"])
+
+    vids = media.limit(2).withColumn("kind", F.lit("video")).withColumn(
+        "duration_ms", F.lit(3500).cast("long")
+    )
+    frames = multimodal.frame_sample(vids, every_ms=1000)
+    per_ref = frames.groupBy("media_ref").count().collect()
+    assert all(r["count"] == 3 for r in per_ref)  # ceil(3500/1000)-1 + idx0
