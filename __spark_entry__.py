@@ -404,6 +404,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (nation → status → grand total) —
+    Catalyst expands grouping sets into one pass with partial aggs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == F.col("n_nationkey")
+    )
+    return joined.rollup(F.col("n_name").alias("nation"), "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star skew operator: explicit salted join — result multiset must
     equal the plain join (the oracle IS the unsalted SQL join), while the
@@ -603,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pricing_summary": q_pricing_summary,
         "q_events_hourly": q_events_hourly,
         "q_orders_join_agg": q_orders_join_agg,
+        "q_rollup_revenue": q_rollup_revenue,
         "q_salted_join": q_salted_join,
         # KG pipeline (fixture corpus; rows-only)
         "kg_triples": kg_triples,
@@ -1152,6 +1168,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_rollup_revenue": """
+            SELECT n_name AS nation, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, o_orderstatus)
         """,
         "q_salted_join": """
             SELECT o_custkey AS custkey, o_orderkey,
