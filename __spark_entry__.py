@@ -212,9 +212,20 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a corpus with KNOWN duplicates: the testdata
+    documents carry none at small SF, so the query unions in a deterministic
+    duplicate of every doc whose id-md5 starts with '0' (~1/16 of the corpus)
+    — the driver row then proves the operator finds them, instead of
+    matching 0 == 0 (VERDICT r2 missing #3)."""
     from financial_knowledge_graphs_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dups = d.filter(F.md5("doc_id").substr(1, 1) == "0").select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dups))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +600,27 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop(t)
 
 
+def kg_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop neighborhood of the highest-degree entity (deterministic pick:
+    degree desc, name asc) — the pushdown-filtered point query a graph
+    explorer runs constantly. The entity pick is a 1-row aggregate collect;
+    the neighborhood itself is two pushed filters + a union, no shuffle."""
+    from financial_knowledge_graphs_spark.operators.graph import (
+        degree_table, neighbors,
+    )
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    top = (
+        degree_table(t)
+        .orderBy(F.desc("degree"), F.asc("name"))
+        .limit(1)
+        .collect()[0]["name"]
+    )
+    return neighbors(t, top)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (testdata)
@@ -631,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ops_metrics": kg_ops_metrics,
         "kg_degree": kg_degree,
         "kg_two_hop": kg_two_hop,
+        "kg_neighbors": kg_neighbors,
     }
 
 
@@ -726,7 +759,7 @@ def _kg_oracle_sql() -> dict[str, str]:
               FROM m GROUP BY ALL),
             ranked AS (
               SELECT *,
-                     sum(n) OVER (PARTITION BY companyName) AS n_mentions,
+                     (sum(n) OVER (PARTITION BY companyName))::BIGINT AS n_mentions,
                      row_number() OVER (PARTITION BY companyName
                                         ORDER BY n DESC, name DESC) AS rn
               FROM per_surface)
@@ -785,6 +818,20 @@ def _kg_oracle_sql() -> dict[str, str]:
                             e2.pred AS p2, e2.obj AS c
             FROM {gt_t} e1 JOIN {gt_t} e2 ON e1.obj = e2.subj
             WHERE e1.subj <> e2.obj
+        """,
+        "kg_neighbors": f"""
+            WITH o AS (SELECT subj AS name, count(*) AS od FROM {gt_t} GROUP BY 1),
+            i AS (SELECT obj AS name, count(*) AS id_ FROM {gt_t} GROUP BY 1),
+            deg AS (
+              SELECT coalesce(o.name, i.name) AS name,
+                     coalesce(od, 0) + coalesce(id_, 0) AS degree
+              FROM o FULL OUTER JOIN i ON o.name = i.name),
+            top AS (SELECT name FROM deg ORDER BY degree DESC, name ASC LIMIT 1)
+            SELECT DISTINCT obj AS neighbor, pred, 'out' AS direction
+            FROM {gt_t} WHERE subj = (SELECT name FROM top)
+            UNION
+            SELECT DISTINCT subj AS neighbor, pred, 'in' AS direction
+            FROM {gt_t} WHERE obj = (SELECT name FROM top)
         """,
         # Expected-value oracle: the pipeline's recorded counter metrics
         # must equal the ground-truth corpus counts.
@@ -888,7 +935,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS avg_tokens,
                    min(tc) AS min_tokens,
                    max(tc) AS max_tokens,
-                   sum(tc) AS sum_tokens
+                   sum(tc)::BIGINT AS sum_tokens
             FROM (SELECT lang, {_TC} AS tc FROM documents)
             GROUP BY lang
         """,
@@ -928,9 +975,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_dedup_exact": """
+            WITH base AS (SELECT doc_id::VARCHAR AS doc_id, text FROM documents),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id || '_dup' AS doc_id, text
+              FROM base WHERE substr(md5(doc_id), 1, 1) = '0'
+            )
             SELECT doc_id AS dup_id, keep_id
             FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
-                  FROM documents)
+                  FROM corpus)
             WHERE doc_id <> keep_id
         """,
         "q_dedup_keep_first": """
