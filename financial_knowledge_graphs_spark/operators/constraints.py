@@ -27,10 +27,42 @@ class Constraints:
     schema: StructType
     not_null: list[str] = field(default_factory=list)
     unique: list[list[str]] = field(default_factory=list)  # each a key tuple
+    # CHECK-style closed domains: column -> allowed values. SQL CHECK
+    # semantics: NULL passes (add the column to not_null to forbid it).
+    # The KG use is the ontology's closed predicate vocabulary
+    # (schemas.PREDICATES; reference configs/config_neo4j.yaml:16-20) — a
+    # triple with a novel pred must not flow into the graph unchallenged.
+    domains: dict[str, list[str]] = field(default_factory=dict)
 
 
 class ConstraintViolation(ValueError):
     pass
+
+
+def _any_null(key: list[str]):
+    from functools import reduce
+
+    return reduce(lambda a, c: a | c, [F.col(k).isNull() for k in key])
+
+
+def domain_filter(df: DataFrame, domains: dict[str, list[str]]) -> DataFrame:
+    """Rows passing every domain CHECK (NULL passes, SQL semantics). A pure
+    Catalyst filter — pushes to the scan, no shuffle."""
+    out = df
+    for col, allowed in domains.items():
+        out = out.filter(F.col(col).isNull() | F.col(col).isin(*allowed))
+    return out
+
+
+def domain_violations(df: DataFrame, domains: dict[str, list[str]]) -> DataFrame:
+    """Rows failing at least one domain CHECK (complement of domain_filter)."""
+    from functools import reduce
+
+    conds = [
+        F.col(c).isNotNull() & ~F.col(c).isin(*allowed)
+        for c, allowed in domains.items()
+    ]
+    return df.filter(reduce(lambda a, b: a | b, conds)) if conds else df.limit(0)
 
 
 def conform(df: DataFrame, schema: StructType) -> DataFrame:
@@ -52,10 +84,21 @@ def violations(df: DataFrame, cons: Constraints) -> DataFrame:
             "violation", F.lit(f"not_null:{c}")
         )
         out = v if out is None else out.unionByName(v)
+    for col, allowed in cons.domains.items():
+        v = df.filter(
+            F.col(col).isNotNull() & ~F.col(col).isin(*allowed)
+        ).withColumn("violation", F.lit(f"domain:{col}"))
+        out = v if out is None else out.unionByName(v)
     for key in cons.unique:
+        # SQL UNIQUE permits any number of NULL keys: rows with a NULL in
+        # the key are excluded from the duplicate window (they can only
+        # violate not_null) — they'd otherwise group together and be
+        # flagged/dropped as duplicates of each other.
+        has_null = _any_null(key)
         w = Window.partitionBy(*[F.col(k) for k in key])
         v = (
-            df.withColumn("_n", F.count(F.lit(1)).over(w))
+            df.filter(~has_null)
+            .withColumn("_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_n") > 1)
             .drop("_n")
             .withColumn("violation", F.lit(f"unique:{','.join(key)}"))
@@ -87,13 +130,21 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
     if mode == "drop":
         for c in cons.not_null:
             d = d.filter(F.col(c).isNotNull())
+        d = domain_filter(d, cons.domains)
         for key in cons.unique:
+            # NULL-keyed rows bypass the dedup window (SQL UNIQUE allows
+            # any number of NULL keys) and are unioned back unchanged
+            null_rows = d.filter(_any_null(key))
             w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(
                 *[F.col(f.name) for f in cons.schema.fields]
             )
-            d = d.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
+            d = (
+                d.filter(~_any_null(key))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .unionByName(null_rows)
+            )
         return d
     if mode == "report":
         # inline tags (no join — a join on the full row would drop null-key
@@ -101,10 +152,15 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
         tags = [
             F.when(F.col(c).isNull(), F.lit(f"not_null:{c}")) for c in cons.not_null
         ]
+        for col, allowed in cons.domains.items():
+            tags.append(
+                F.when(F.col(col).isNotNull() & ~F.col(col).isin(*allowed),
+                       F.lit(f"domain:{col}"))
+            )
         for key in cons.unique:
             w = Window.partitionBy(*[F.col(k) for k in key])
             tags.append(
-                F.when(F.count(F.lit(1)).over(w) > 1,
+                F.when((~_any_null(key)) & (F.count(F.lit(1)).over(w) > 1),
                        F.lit(f"unique:{','.join(key)}"))
             )
         tag_col = F.concat_ws(

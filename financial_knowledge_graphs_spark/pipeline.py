@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
-from .operators import extract, materialize, prep
+from .operators import constraints, extract, materialize, prep
 from .ops import OpsStore
 
 
@@ -217,7 +217,14 @@ def run_pipeline(
     triples, dropped, ep_joined = materialize.build_triples(
         raw_triples, mentions, mapping
     )
-    triples = triples.persist()
+    triples_all = triples.persist()
+    # CHECK-style closed predicate vocabulary (SURVEY §1.3): the reference
+    # closes the ontology via prompts + configs/config_neo4j.yaml:16-20; here
+    # the graph table enforces it — an off-vocabulary pred never merges, and
+    # the reject count is surfaced to metrics (never silent).
+    _vocab = {"pred": list(schemas.PREDICATES)}
+    offvocab = constraints.domain_violations(triples_all, _vocab)
+    triples = constraints.domain_filter(triples_all, _vocab)
 
     # ---- stale-triple remap (only when a canonical id was retired) ---------
     triple_keys = ["doc_id", "subj", "pred", "obj", "valueAmount",
@@ -258,9 +265,10 @@ def run_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     def _count_triples():
-        # triples first (fills the ep_joined + triples caches), dropped after
+        # triples first (fills the ep_joined + triples caches), dropped +
+        # off-vocab after (both re-read the now-warm caches)
         n = triples.count()
-        return n, dropped.count()
+        return n, dropped.count(), offvocab.count()
 
     with ThreadPoolExecutor(max_workers=4) as tp:
         f_mentions = tp.submit(mentions.count)
@@ -274,7 +282,8 @@ def run_pipeline(
             triple_keys, materialize.DEFAULT_MERGE_BUCKETS, triple_deletes,
         )
         res.mentions = f_mentions.result()
-        res.triples, res.dropped_endpoint_rows = f_triples.result()
+        res.triples, res.dropped_endpoint_rows, n_offvocab = f_triples.result()
+        res.extra["offvocab_triples"] = n_offvocab
         f_mv.result()
         f_mt.result()
 
@@ -302,6 +311,7 @@ def run_pipeline(
             "mentions": res.mentions,
             "triples": res.triples,
             "dropped_endpoint_rows": res.dropped_endpoint_rows,
+            "offvocab_triples": n_offvocab,
             "seconds": res.seconds,
             "docs_per_sec": (res.docs_processed / res.seconds) if res.seconds else 0.0,
         },
@@ -310,7 +320,7 @@ def run_pipeline(
     mapping.unpersist()
     vertices.unpersist()
     ep_joined.unpersist()
-    triples.unpersist()
+    triples_all.unpersist()
     for df in _cleanup:
         df.unpersist()
     return res

@@ -61,3 +61,52 @@ def test_enforce_report_mode(spark):
     assert "unique:entity_id" in tags["Acme"]
     assert "unique:entity_id" in tags["Acme Corp"]
     assert "not_null:entity_id" in tags["Ghost"]
+
+
+def test_unique_allows_multiple_null_keys(spark):
+    """SQL UNIQUE semantics: NULL keys never collide with each other."""
+    cons = Constraints(schema=SCHEMA, unique=[["entity_id"]])
+    rows = [(None, "a", 1), (None, "b", 2), ("e1", "c", 3)]
+    df = spark.createDataFrame(rows, "entity_id string, name string, n int")
+    # no duplicates among non-null keys -> error mode passes
+    assert enforce(df, cons, mode="error").count() == 3
+    # drop mode keeps BOTH null-keyed rows
+    assert enforce(df, cons, mode="drop").count() == 3
+    # report mode tags nothing
+    out = enforce(df, cons, mode="report")
+    assert out.filter("violation is not null").count() == 0
+
+
+def test_domain_constraint_modes(spark):
+    """CHECK-style closed domain (the ontology predicate vocabulary)."""
+    schema = StructType(
+        [StructField("subj", StringType()), StructField("pred", StringType())]
+    )
+    cons = Constraints(
+        schema=schema,
+        domains={"pred": ["acquired", "mergedWith"]},
+    )
+    rows = [("a", "acquired"), ("b", "OWNS"), ("c", None)]
+    df = spark.createDataFrame(rows, "subj string, pred string")
+    with pytest.raises(ConstraintViolation):
+        enforce(df, cons, mode="error")
+    # drop: off-vocab row removed, NULL passes (SQL CHECK semantics)
+    kept = {r["subj"] for r in enforce(df, cons, mode="drop").collect()}
+    assert kept == {"a", "c"}
+    tags = {r["subj"]: r["violation"] for r in enforce(df, cons, mode="report").collect()}
+    assert tags["a"] is None and tags["c"] is None
+    assert "domain:pred" in tags["b"]
+
+
+def test_pipeline_vocab_helpers(spark):
+    from financial_knowledge_graphs_spark import schemas as S
+    from financial_knowledge_graphs_spark.operators.constraints import (
+        domain_filter, domain_violations,
+    )
+
+    rows = [("a", "acquired"), ("b", "novelPred")]
+    df = spark.createDataFrame(rows, "subj string, pred string")
+    vocab = {"pred": list(S.PREDICATES)}
+    assert domain_filter(df, vocab).count() == 1
+    bad = domain_violations(df, vocab).collect()
+    assert len(bad) == 1 and bad[0]["pred"] == "novelPred"
