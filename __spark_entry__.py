@@ -773,7 +773,9 @@ def _kg_oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      coalesce(string_agg(CASE WHEN sp.kind = 'text' THEN sp.text END, ' '
                                          ORDER BY sp.offset) FILTER (sp.kind = 'text'), '') AS story,
-                     md5(coalesce(string_agg(sp.kind || chr(31) || sp.text || chr(31) || sp.media_ref,
+                     md5(coalesce(string_agg(coalesce(sp.kind, chr(0)) || chr(31) ||
+                                             coalesce(sp.text, chr(0)) || chr(31) ||
+                                             coalesce(sp.media_ref, chr(0)),
                                              chr(30) ORDER BY sp.offset), '')) AS span_sig
               FROM s GROUP BY doc_id)
             SELECT doc_id, length(story) AS story_len, span_sig FROM agg

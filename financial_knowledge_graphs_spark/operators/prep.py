@@ -37,16 +37,25 @@ def span_signature(spans_col: str = "spans") -> F.Column:
     — used by tests to assert the round-trip invariant.
 
     md5 over unit/record-separator-joined fields (NOT to_json): the byte
-    stream is trivially reproducible in any engine (DuckDB oracle:
-    md5(string_agg(kind||chr(31)||text||chr(31)||media_ref, chr(30)
-    ORDER BY offset))), where JSON escaping rules are engine-specific."""
+    stream is trivially reproducible in any engine (DuckDB oracle mirrors
+    it with coalesce(field, chr(0)) || chr(31) || ... aggregated with
+    chr(30) ORDER BY offset), where JSON escaping rules are engine-specific.
+
+    Each field is coalesced to a NUL sentinel BEFORE joining: concat_ws
+    skips NULL arguments, so two spans with swapped null fields
+    (text='x'/media_ref=NULL vs text=NULL/media_ref='x') would otherwise
+    collide on 'kind<US>x' and distinct span sequences could wrongly match."""
     ordered = F.array_sort(F.col(spans_col), lambda a, b: a["offset"] - b["offset"])
+    nul = F.lit("\x00")
     return F.md5(
         F.array_join(
             F.transform(
                 ordered,
                 lambda s: F.concat_ws(
-                    "\x1f", s["kind"], s["text"], s["media_ref"]
+                    "\x1f",
+                    F.coalesce(s["kind"], nul),
+                    F.coalesce(s["text"], nul),
+                    F.coalesce(s["media_ref"], nul),
                 ),
             ),
             "\x1e",

@@ -94,3 +94,19 @@ def test_resume_anti_join(spark):
     done = spark.createDataFrame([("b",), ("b",)], "doc_id: string")
     left = sorted(r["doc_id"] for r in prep.resume_anti_join(docs, done).collect())
     assert left == ["a", "c"]
+
+
+def test_span_signature_distinguishes_null_positions(spark):
+    """Swapped null fields must NOT collide (NUL sentinel encodes position)."""
+    from financial_knowledge_graphs_spark.operators import prep
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    rows = [
+        ("a", [("img", "x", None, 0)]),
+        ("b", [("img", None, "x", 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    sigs = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id", prep.span_signature().alias("sig")).collect()}
+    assert sigs["a"] != sigs["b"]
