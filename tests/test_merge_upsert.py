@@ -14,15 +14,15 @@ def _mk(spark, rows):
 
 
 def _versions(table):
-    """bucket id -> (CURRENT pointer, set of version dirs)."""
+    """bucket id -> (live version per latest snapshot, set of version dirs)."""
+    live = materialize.snapshots(table)[-1]["buckets"]
     out = {}
     for d in sorted(os.listdir(table)):
         if not d.startswith("bucket="):
             continue
         bdir = os.path.join(table, d)
-        cur = open(os.path.join(bdir, "CURRENT")).read().strip()
         vs = {x for x in os.listdir(bdir) if x.startswith("v_")}
-        out[int(d.split("=")[1])] = (cur, vs)
+        out[int(d.split("=")[1])] = (live.get(d), vs)
     return out
 
 
@@ -198,3 +198,67 @@ def test_lookup_by_key_typed_literals(spark, tmp_warehouse):
     for probe in (5, 42):
         got = materialize.lookup_by_key(spark, t, ["id"], (probe,), n_buckets=8).collect()
         assert [(r["id"], r["s"]) for r in got] == [(probe, f"v{probe}")]
+
+
+def test_commit_is_table_atomic(spark, tmp_warehouse):
+    """ADVICE r2 medium: the commit point is ONE version-hint swap. A crash
+    after data/metadata staging but before the hint swap (simulated by an
+    orphan metadata file newer than the hint) must leave readers on the
+    previous snapshot, and the replayed commit must not reuse the orphan's
+    snapshot id."""
+    import json
+
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=4)
+    sid = materialize.snapshots(t)[-1]["snapshot_id"]
+    # simulate the crash window: orphan metadata staged, hint NOT swapped
+    orphan = dict(materialize.snapshots(t)[-1])
+    orphan["snapshot_id"] = sid + 1
+    orphan["buckets"] = {}  # would read as empty if ever trusted
+    with open(materialize._meta_path(t, sid + 1), "w") as f:
+        json.dump(orphan, f)
+    # readers stay on the committed snapshot
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {("a", 1), ("b", 2)}
+    assert materialize.snapshots(t)[-1]["snapshot_id"] == sid
+    # replayed commit skips the orphan id
+    materialize.merge_upsert(spark, t, _mk(spark, [("c", 3)]), ["k"], n_buckets=4)
+    assert materialize.snapshots(t)[-1]["snapshot_id"] == sid + 2
+    got = {r["k"] for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_rebucket_table(spark, tmp_warehouse):
+    """Growing a table's bucket count is one atomic snapshot; later merges
+    and point lookups resolve the NEW layout from table metadata even when
+    callers pass the old constant."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    rows = [(f"k{i}", i) for i in range(200)]
+    materialize.merge_upsert(spark, t, _mk(spark, rows), ["k"], n_buckets=4)
+    pre_sid = materialize.snapshots(t)[-1]["snapshot_id"]
+
+    materialize.rebucket_table(spark, t, ["k"], new_buckets=16)
+    meta = materialize.snapshots(t)[-1]
+    assert meta["n_buckets"] == 16
+    assert len(meta["buckets"]) > 4  # rows really spread over more buckets
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == set(rows)
+
+    # point lookup with the STALE caller constant still prunes correctly
+    hit = materialize.lookup_by_key(spark, t, ["k"], ("k42",), n_buckets=4)
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [("k42", 42)]
+    files = [f.replace("file:", "") for f in hit.inputFiles()]
+    assert len({f.split("/bucket=")[1].split("/")[0] for f in files}) == 1
+
+    # a later merge hashes into the new layout and touches few buckets
+    before = _versions(t)
+    materialize.merge_upsert(spark, t, _mk(spark, [("k42", 999)]), ["k"], n_buckets=4)
+    after = _versions(t)
+    changed = [b for b in after if before.get(b) != after[b]]
+    assert len(changed) == 1
+    assert materialize.read_graph_table(spark, t).filter(
+        F.col("k") == "k42").collect()[0]["v"] == 999
+
+    # time travel across the rebucket boundary reads the OLD layout
+    old = materialize.read_graph_table(spark, t, snapshot=pre_sid)
+    assert {(r["k"], r["v"]) for r in old.collect()} == set(rows)
