@@ -67,6 +67,9 @@ def graph_paths(warehouse: str) -> dict[str, str]:
         # idempotent per-(doc, surface) mention ledger: the source of truth
         # for cumulative n_mentions (keyed merge absorbs crash-replay)
         "surface_mentions": os.path.join(warehouse, "graph", "surface_mentions"),
+        # surface → (comp, entity_id): the incremental-canonicalization
+        # state; lets a batch re-link only touched components
+        "mapping": os.path.join(warehouse, "graph", "mapping"),
     }
 
 
@@ -91,6 +94,7 @@ def run_pipeline(
 
     obs_in = Observation()
     obs_prep = Observation()
+    documents_raw = documents
     documents = documents.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
     # ---- prep on the FULL corpus first (reference order: load_data applies
@@ -103,10 +107,11 @@ def run_pipeline(
     # extraction repartition) and roughly double the shuffle bytes. Catalyst
     # prunes columns on scans but cannot prune through our later consumers,
     # so the projection is explicit here.
-    prepared = prep.dedup_by_story(
+    prepared_raw = prep.dedup_by_story(
         prep.quality_filter(prep.with_story(documents), min_tokens=cfg.min_tokens)
         .select("doc_id", "story")
-    ).observe(obs_prep, F.count(F.lit(1)).alias("n"))
+    )
+    prepared = prepared_raw.observe(obs_prep, F.count(F.lit(1)).alias("n"))
 
     # ---- resume anti-join + bounded micro-batch ----------------------------
     processed = ops.processed_docs(run_id, cfg.stage_name)
@@ -127,8 +132,20 @@ def run_pipeline(
     )
     extracted = extracted.persist()
     res.docs_processed = extracted.count()
-    docs_in = int(obs_in.get["n"])
-    docs_prepared = int(obs_prep.get["n"])
+
+    def _obs_n(obs, fallback_df):
+        # When the resume anti-join (or batch limit) empties the plan,
+        # Catalyst's empty-relation propagation can elide the CollectMetrics
+        # node entirely — Observation.get then hits a JVM assertion instead
+        # of returning. Fall back to a direct count in that rare empty-batch
+        # case (one cheap extra scan, only on no-op batches).
+        try:
+            return int(obs.get["n"])
+        except Exception:
+            return fallback_df.count()
+
+    docs_in = _obs_n(obs_in, documents_raw)
+    docs_prepared = _obs_n(obs_prep, prepared_raw)
     res.docs_in = docs_in
     res.extra["docs_prepared"] = docs_prepared
     # prep-stage lineage: how many raw docs the quality filter + dedup dropped
@@ -144,17 +161,18 @@ def run_pipeline(
     mentions = extract.mentions_df(extracted)
     raw_triples = extract.raw_triples_df(extracted)
 
-    # ---- global canonicalization over the mention LEDGER -------------------
+    # ---- mention LEDGER merge ----------------------------------------------
     # surface_mentions is an idempotent per-(doc, surface) ledger (keyed
     # merge: a crash anywhere downstream replays this batch into a no-op, so
     # nothing derived from the ledger can double-count — review finding
-    # r2-3). The post-merge ledger IS the mention universe: every surface
-    # ever seen participates in linking (the reference's link-against-the-
-    # whole-DB semantics, neo4j_handler.py:70-134) and per-surface counts /
-    # rep selection are exact across batches (review finding r2-7 — round
-    # 2's prior-vertex fold-in collapsed historical counts onto the rep
-    # surface). name_keys collapses the ledger to distinct surfaces
-    # immediately, so the extra cost is one bucketed-table scan per batch.
+    # r2-3). Canonicalization semantics stay link-vs-whole-DB (the
+    # reference's insert-time disambiguation, neo4j_handler.py:70-134):
+    # every surface ever seen participates — the first batch links the full
+    # ledger, later batches link incrementally against the persisted
+    # mapping table (equivalent by the closure argument in
+    # canonical_mapping_incremental) — and per-surface counts / rep
+    # selection always derive from the ledger, so they are exact across
+    # batches AND replay-safe (review finding r2-7).
     paths = graph_paths(cfg.warehouse)
     materialize.merge_upsert(
         spark, paths["surface_mentions"],
@@ -164,56 +182,123 @@ def run_pipeline(
         ).dropDuplicates(["doc_id", "type", "name"]),
         ["doc_id", "type", "name"],
     )
-    mention_universe = materialize.read_graph_table(
-        spark, paths["surface_mentions"]
-    ).withColumn("local_id", F.lit(None).cast("string"))
-    prior_vertices = None
-    if materialize.table_exists(paths["vertices"]):
-        # prior vertices are needed only to detect retired canonical ids
-        # (tombstones below); the ledger already carries their surfaces
-        prior_vertices = materialize.read_graph_table(spark, paths["vertices"])
-    mapping = materialize.canonical_mapping(
-        mention_universe, max_block=cfg.max_block,
-        embedding_link=cfg.embedding_link,
-        embedding_threshold=cfg.embedding_threshold,
-    )
-    mapping = mapping.persist()
+    # ---- canonicalization: full CC on the first batch, TOUCHED-COMPONENTS-
+    # ONLY after (VERDICT r2 watch-item: a full-ledger CC per batch is
+    # O(history) at 10^9 distinct surfaces). The persisted graph/mapping
+    # table (surface → comp + entity_id) is the incremental state; a batch
+    # re-canonicalizes only components reachable from its genuinely-new
+    # surfaces (see canonical_mapping_incremental), so per-batch link cost
+    # is O(batch + touched members). The vertices rebuild is likewise
+    # restricted to touched entities, so the vertices MERGE rewrites only
+    # their buckets instead of the whole table every batch.
+    from .operators.linking import name_keys
 
-    # ---- tombstones: prior entities whose canonical id changed -------------
-    # entity_id is min-norm-addressed (stable when new surfaces join a
-    # component), but a batch that LINKS two previously-separate components
-    # retires one id. MERGE must then delete the stale vertex row and remap
-    # the stale triple endpoints — the WHEN MATCHED DELETE branch.
     stale_vertex_keys = None
     triple_remap = None
+    mapping_updates = None  # rows to merge into graph/mapping (post-merges)
     _cleanup: list[DataFrame] = []
-    if prior_vertices is not None:
-        remap = (
-            prior_vertices.select("entity_id", "type", "name")
-            .join(
-                mapping.select(
-                    "type", "name", F.col("entity_id").alias("new_entity_id")
-                ),
-                ["type", "name"],
-            )
-            .filter(F.col("entity_id") != F.col("new_entity_id"))
-            .select(F.col("entity_id").alias("old_id"), F.col("new_entity_id").alias("new_id"))
-            .distinct()
-            .persist()
+    map_cols = ["key", "type", "name", "norm", "comp", "entity_id"]
+
+    if not materialize.table_exists(paths["mapping"]):
+        # first batch — or a pre-mapping-table warehouse (upgrade path):
+        # full canonicalization over the whole ledger, then seed the table
+        mention_universe = materialize.read_graph_table(
+            spark, paths["surface_mentions"]
         )
-        _cleanup.append(remap)
-        # full count (NOT limit(1)): materializes every partition into the
-        # cache NOW, while the vertices table's old version dirs still exist
-        # — the concurrent merges below swap pointers and delete old files,
-        # so a lazily-computed remap partition could read a deleted file
-        if remap.count() > 0:
-            stale_vertex_keys = remap.select(F.col("old_id").alias("entity_id"))
-            triple_remap = remap
+        prior_vertices = None
+        if materialize.table_exists(paths["vertices"]):
+            prior_vertices = materialize.read_graph_table(spark, paths["vertices"])
+        mapping = materialize.canonical_mapping(
+            mention_universe, max_block=cfg.max_block,
+            embedding_link=cfg.embedding_link,
+            embedding_threshold=cfg.embedding_threshold,
+        ).persist()
+        _cleanup.append(mapping)
+        mapping_updates = mapping.select(*map_cols)
+        vertex_mentions = mention_universe
+        # tombstones (upgrade path only): prior entities whose id changed
+        if prior_vertices is not None:
+            remap = (
+                prior_vertices.select("entity_id", "type", "name")
+                .join(
+                    mapping.select(
+                        "type", "name", F.col("entity_id").alias("new_entity_id")
+                    ),
+                    ["type", "name"],
+                )
+                .filter(F.col("entity_id") != F.col("new_entity_id"))
+                .select(F.col("entity_id").alias("old_id"),
+                        F.col("new_entity_id").alias("new_id"))
+                .distinct()
+                .persist()
+            )
+            _cleanup.append(remap)
+            # full count (NOT limit(1)): materializes every partition into
+            # the cache NOW, while the prior tables' version dirs exist
+            if remap.count() > 0:
+                stale_vertex_keys = remap.select(F.col("old_id").alias("entity_id"))
+                triple_remap = remap
+    else:
+        batch_keys = name_keys(mentions).persist()
+        _cleanup.append(batch_keys)
+        prior_map = materialize.read_graph_table(spark, paths["mapping"])
+        updates = materialize.canonical_mapping_incremental(
+            prior_map, batch_keys, max_block=cfg.max_block,
+            embedding_link=cfg.embedding_link,
+            embedding_threshold=cfg.embedding_threshold,
+        ).persist()
+        _cleanup.append(updates)
+        n_upd = updates.count()
+        # entities needing a vertex refresh: those of the batch's (old)
+        # surfaces — their n_mentions moved — plus everything the
+        # re-canonicalization touched (old AND new ids of the sub-universe,
+        # so norm-collapsed entities get exact counts too)
+        batch_eids = prior_map.join(batch_keys.select("key"), "key").select("entity_id")
+        if n_upd:
+            touched_eids = (
+                batch_eids
+                .unionByName(
+                    prior_map.join(updates.select("key"), "key").select("entity_id")
+                )
+                .unionByName(updates.select("entity_id"))
+                .distinct()
+            )
+        else:
+            touched_eids = batch_eids.distinct()
+        prior_rows = prior_map.join(touched_eids, "entity_id").select(*map_cols)
+        if n_upd:
+            mapping = updates.unionByName(
+                prior_rows.join(updates.select("key"), "key", "left_anti")
+            ).persist()
+            mapping_updates = updates
+            # tombstones: sub-universe surfaces whose canonical id changed
+            remap = (
+                prior_map.select("key", F.col("entity_id").alias("old_id"))
+                .join(updates.select("key", F.col("entity_id").alias("new_id")), "key")
+                .filter(F.col("old_id") != F.col("new_id"))
+                .select("old_id", "new_id")
+                .distinct()
+                .persist()
+            )
+            _cleanup.append(remap)
+            if remap.count() > 0:
+                stale_vertex_keys = remap.select(F.col("old_id").alias("entity_id"))
+                triple_remap = remap
+        else:
+            mapping = prior_rows.persist()
+        _cleanup.append(mapping)
+        # touched entities' surfaces only: the ledger scan stays one full
+        # parquet pass (embarrassingly parallel; at 10^12 docs, re-bucket
+        # the ledger by (type, name) to prune it), but CC, vertex build and
+        # the vertices merge are now O(touched), not O(history)
+        vertex_mentions = materialize.read_graph_table(
+            spark, paths["surface_mentions"]
+        ).join(mapping.select("type", "name").distinct(), ["type", "name"])
 
     # vertices feed two actions (count implicit in merge + the merge write
     # itself); triples feed count + merge; both persist so the join chains
     # run once. dropped counts off the persisted endpoint-join intermediate.
-    vertices = materialize.build_vertices(mention_universe, mapping).persist()
+    vertices = materialize.build_vertices(vertex_mentions, mapping).persist()
     triples, dropped, ep_joined = materialize.build_triples(
         raw_triples, mentions, mapping
     )
@@ -270,22 +355,54 @@ def run_pipeline(
         n = triples.count()
         return n, dropped.count(), offvocab.count()
 
+    def _merge_vertices():
+        materialize.merge_upsert(
+            spark, paths["vertices"], vertices,
+            ["entity_id"], materialize.DEFAULT_MERGE_BUCKETS, stale_vertex_keys,
+        )
+
+    def _merge_triples():
+        materialize.merge_upsert(
+            spark, paths["triples"], triple_updates,
+            triple_keys, materialize.DEFAULT_MERGE_BUCKETS, triple_deletes,
+        )
+
+    def _merge_graph():
+        # ORDERED when a canonical id was retired (ADVICE r2 medium): the
+        # triples merge (stale-row deletes + rewrites) must commit BEFORE
+        # the vertices merge tombstones the old id. If a crash lands
+        # between them, replay still sees the old vertex row, re-derives
+        # the old→new remap, and finds the triples already rewritten (a
+        # no-op) — whereas vertices-first would leave replay with no id
+        # change to detect and the old triples dangling forever. The
+        # common path (no retirement) keeps both merges concurrent.
+        if triple_remap is not None:
+            _merge_triples()
+            _merge_vertices()
+        else:
+            with ThreadPoolExecutor(max_workers=2) as inner:
+                fv = inner.submit(_merge_vertices)
+                ft = inner.submit(_merge_triples)
+                fv.result(); ft.result()
+        # mapping table LAST: if a crash lands before this commit, replay
+        # still sees the pre-batch mapping, re-derives the same updates +
+        # old→new remap, and finds the triples/vertices merges already
+        # applied (idempotent no-ops). Committing the mapping first would
+        # erase the evidence replay needs to re-derive the remap.
+        if mapping_updates is not None:
+            materialize.merge_upsert(
+                spark, paths["mapping"], mapping_updates.select(*map_cols), ["key"]
+            )
+        return None
+
     with ThreadPoolExecutor(max_workers=4) as tp:
         f_mentions = tp.submit(mentions.count)
         f_triples = tp.submit(_count_triples)
-        f_mv = tp.submit(
-            materialize.merge_upsert, spark, paths["vertices"], vertices,
-            ["entity_id"], materialize.DEFAULT_MERGE_BUCKETS, stale_vertex_keys,
-        )
-        f_mt = tp.submit(
-            materialize.merge_upsert, spark, paths["triples"], triple_updates,
-            triple_keys, materialize.DEFAULT_MERGE_BUCKETS, triple_deletes,
-        )
+        f_merge = tp.submit(_merge_graph)
         res.mentions = f_mentions.result()
         res.triples, res.dropped_endpoint_rows, n_offvocab = f_triples.result()
         res.extra["offvocab_triples"] = n_offvocab
-        f_mv.result()
-        f_mt.result()
+        f_merge.result()
 
     # ---- ops: checkpoint + lineage + metrics -------------------------------
     def _lineage_writes():
