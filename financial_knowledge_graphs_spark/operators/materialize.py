@@ -425,8 +425,50 @@ def _legacy_jsonl_snapshots(table_path: str) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
+def _bucket_file_stats(version_dir: str) -> dict:
+    """Manifest-level file stats from the parquet footers (rows + bytes) —
+    the metadata Iceberg keeps per data file; zero extra Spark jobs."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return {}
+    rows = 0
+    nbytes = 0
+    files = 0
+    for f in os.listdir(version_dir):
+        fp = os.path.join(version_dir, f)
+        if not (f.endswith(".parquet") and os.path.isfile(fp)):
+            continue
+        rows += pq.ParquetFile(fp).metadata.num_rows
+        nbytes += os.path.getsize(fp)
+        files += 1
+    return {"rows": rows, "bytes": nbytes, "files": files}
+
+
+def table_stats(table_path: str) -> dict | None:
+    """Live-snapshot stats: total/per-bucket rows, bytes and file counts
+    (from commit-time footers — no scan). The ops answer to 'is this table
+    skewed / due a rebucket_table?': a bucket many times the median size
+    means the hash key has heavy hitters or the layout is outgrown. None
+    for pre-metadata tables (no recorded stats)."""
+    state = _table_state(table_path)
+    if not state or "stats" not in state:
+        return None
+    per = state["stats"]
+    return {
+        "n_buckets": state.get("n_buckets"),
+        "rows": sum(s.get("rows", 0) for s in per.values()),
+        "bytes": sum(s.get("bytes", 0) for s in per.values()),
+        "files": sum(s.get("files", 0) for s in per.values()),
+        "buckets": per,
+    }
+
+
 def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
-                     n_buckets: int, schema) -> int:
+                     n_buckets: int, schema,
+                     stats: dict | None = None) -> int:
     """THE commit: write the snapshot's metadata file (staged via tmp +
     os.replace), then atomically swap version-hint.text onto it. A crash
     before the hint swap leaves the previous snapshot live and the new
@@ -446,6 +488,7 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
         "ts": _time.time(),
         "n_buckets": n_buckets,
         "buckets": buckets_map,
+        "stats": stats if stats is not None else {},
         "schema": schema.jsonValue() if schema is not None else None,
     }
     tmp = os.path.join(md, f".v{sid:07d}.metadata.json.tmp")
@@ -817,6 +860,11 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         if d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))
     ]
     new_map = dict(prev_map)
+    # untouched buckets inherit their commit-time file stats; touched ones
+    # get fresh footer stats below (manifest-level stats, Iceberg-style)
+    new_stats = {
+        k: v for k, v in ((state or {}).get("stats") or {}).items() if k in new_map
+    }
     installed = set()
     for d in staged:
         b = int(d.split("=", 1)[1])
@@ -827,12 +875,14 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         nxt = _next_version(bdir)
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
         new_map[f"bucket={b}"] = nxt
+        new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
         installed.add(b)
     # touched buckets with NO staged rows were fully emptied by deletes:
     # drop them from the snapshot map — an unmapped bucket reads as empty.
     for b in (touched or []):
         if b not in installed:
             new_map.pop(f"bucket={b}", None)
+            new_stats.pop(f"bucket={b}", None)
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
     schema = merged.drop("__bucket").schema
@@ -840,7 +890,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     # COMMIT: one atomic hint swap installs the whole snapshot; then expire
     # versions beyond the retention window (prior snapshots stay readable
     # via time travel)
-    _commit_snapshot(table_path, new_map, n_buckets, schema)
+    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats)
     for b in _bucket_dirs(table_path):
         # drop stale per-bucket CURRENT pointers (pre-metadata layout) so
         # they can't pin GC'd versions or confuse legacy readers
@@ -886,6 +936,7 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
     ).mode("overwrite").parquet(staging)
 
     new_map: dict[str, str] = {}
+    new_stats: dict[str, dict] = {}
     for d in os.listdir(staging):
         if not (d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))):
             continue
@@ -895,10 +946,11 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         nxt = _next_version(bdir)
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
         new_map[f"bucket={b}"] = nxt
+        new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
     _write_schema(table_path, schema)
-    _commit_snapshot(table_path, new_map, new_buckets, schema)
+    _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats)
     for b in _bucket_dirs(table_path):
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):

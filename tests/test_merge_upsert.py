@@ -262,3 +262,22 @@ def test_rebucket_table(spark, tmp_warehouse):
     # time travel across the rebucket boundary reads the OLD layout
     old = materialize.read_graph_table(spark, t, snapshot=pre_sid)
     assert {(r["k"], r["v"]) for r in old.collect()} == set(rows)
+
+
+def test_table_stats_manifest_level(spark, tmp_warehouse):
+    """Commit-time footer stats: totals track merges without any scan, and
+    untouched buckets inherit their stats across snapshots."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", i) for i in range(100)]), ["k"], n_buckets=8
+    )
+    s1 = materialize.table_stats(t)
+    assert s1 is not None and s1["rows"] == 100 and s1["bytes"] > 0
+    assert sum(b["rows"] for b in s1["buckets"].values()) == 100
+
+    materialize.merge_upsert(spark, t, _mk(spark, [("extra", 1)]), ["k"], n_buckets=8)
+    s2 = materialize.table_stats(t)
+    assert s2["rows"] == 101
+    # untouched buckets kept identical stats dicts
+    same = [b for b in s1["buckets"] if s1["buckets"][b] == s2["buckets"].get(b)]
+    assert len(same) >= len(s1["buckets"]) - 1
