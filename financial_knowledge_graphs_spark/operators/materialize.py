@@ -360,6 +360,14 @@ def _next_version(bucket_dir: str) -> str:
 
 
 SNAPSHOT_RETENTION = 3  # snapshots kept readable (time-travel window)
+AUTO_COMPACT_FILES = 8  # max data files per bucket before a merge folds the
+                        # bucket into its rewrite (inline compaction)
+
+
+def _as_dirs(v) -> list:
+    """Bucket map value → list of version dirs (pre-append-path metadata
+    recorded a single dir as a plain string)."""
+    return v if isinstance(v, list) else [v]
 
 
 def _meta_dir(table_path: str) -> str:
@@ -589,8 +597,8 @@ def _gc_versions(table_path: str) -> None:
     snaps = snapshots(table_path)[-SNAPSHOT_RETENTION:]
     live: dict[str, set[str]] = {}
     for s in snaps:
-        for b, v in s["buckets"].items():
-            live.setdefault(b, set()).add(v)
+        for b, vs in s["buckets"].items():
+            live.setdefault(b, set()).update(_as_dirs(vs))
     for b in _bucket_dirs(table_path):
         bdir = os.path.join(table_path, b)
         keep = live.get(b, set()) | {_current_version(bdir) or ""}
@@ -643,14 +651,15 @@ def read_graph_table(spark: SparkSession, table_path: str,
         if snap is None:
             raise ValueError(f"no snapshot {snapshot} recorded for {table_path}")
         paths = []
-        for b, v in snap["buckets"].items():
-            p = os.path.join(table_path, b, v)
-            if not os.path.isdir(p):
-                raise ValueError(
-                    f"snapshot {snapshot} expired (bucket {b} version {v} "
-                    f"GC'd; retention={SNAPSHOT_RETENTION})"
-                )
-            paths.append(p)
+        for b, vs in snap["buckets"].items():
+            for v in _as_dirs(vs):
+                p = os.path.join(table_path, b, v)
+                if not os.path.isdir(p):
+                    raise ValueError(
+                        f"snapshot {snapshot} expired (bucket {b} version {v} "
+                        f"GC'd; retention={SNAPSHOT_RETENTION})"
+                    )
+                paths.append(p)
         if not paths:
             empty = _empty_df(spark, table_path, snap)
             if empty is not None:
@@ -669,7 +678,8 @@ def read_graph_table(spark: SparkSession, table_path: str,
         return spark.read.parquet(table_path)
     paths = [
         os.path.join(table_path, b, v)
-        for b, v in state["buckets"].items()
+        for b, vs in state["buckets"].items()
+        for v in _as_dirs(vs)
         if os.path.isdir(os.path.join(table_path, b, v))
     ]
     if not paths:
@@ -734,14 +744,19 @@ def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
     )
     b = cond_df.select(_bucket_expr(keys, n_buckets).alias("b")).first()["b"]
     bname = f"bucket={b}"
-    v = (state or {}).get("buckets", {}).get(bname)
-    if v is None or not os.path.isdir(os.path.join(table_path, bname, v)):
+    vs = (state or {}).get("buckets", {}).get(bname)
+    bpaths = [
+        os.path.join(table_path, bname, v)
+        for v in _as_dirs(vs) if vs is not None
+        if os.path.isdir(os.path.join(table_path, bname, v))
+    ] if vs is not None else []
+    if not bpaths:
         # bucket empty at this snapshot → key absent (typed hash is exact)
         empty = _empty_df(spark, table_path, state)
         if empty is not None:
             return empty.filter(pred)
         return read_graph_table(spark, table_path).filter(pred).limit(0)
-    return spark.read.parquet(os.path.join(table_path, bname, v)).filter(pred)
+    return spark.read.parquet(*bpaths).filter(pred)
 
 
 def truncate_table(table_path: str) -> None:
@@ -773,7 +788,9 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         # the table's recorded layout wins over the caller's default —
         # after rebucket_table, merges keep hashing into the NEW layout
         n_buckets = state["n_buckets"]
-    prev_map: dict[str, str] = dict(state["buckets"]) if state else {}
+    prev_map: dict[str, list[str]] = (
+        {b: _as_dirs(v) for b, v in state["buckets"].items()} if state else {}
+    )
 
     dedup = updates.dropDuplicates(keys).withColumn("__bucket", _bucket_expr(keys, n_buckets))
     if deletes is not None:
@@ -787,6 +804,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     staging = table_path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
 
+    dirty: set[int] = set()
     if exists:
         touched_df = dedup.select("__bucket")
         if deletes is not None:
@@ -794,16 +812,15 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                 deletes.withColumn("__bucket", _bucket_expr(keys, n_buckets)).select("__bucket")
             )
         touched = sorted(r["__bucket"] for r in touched_df.distinct().collect())
-        # read ONLY the touched buckets' live versions (legacy flat dirs
+        # read ONLY the touched buckets' live data files (legacy flat dirs
         # degrade to a full read + full re-bucket, a one-time migration)
         if prev_map:
             paths = []
             for b in touched:
-                v = prev_map.get(f"bucket={b}")
-                if v is not None and os.path.isdir(
-                    os.path.join(table_path, f"bucket={b}", v)
-                ):
-                    paths.append(os.path.join(table_path, f"bucket={b}", v))
+                for v in prev_map.get(f"bucket={b}", []):
+                    p = os.path.join(table_path, f"bucket={b}", v)
+                    if os.path.isdir(p):
+                        paths.append(p)
             existing = (
                 spark.read.parquet(*paths).withColumn("__bucket", _bucket_expr(keys, n_buckets))
                 if paths else None
@@ -815,6 +832,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
             existing = spark.read.parquet(table_path).withColumn(
                 "__bucket", _bucket_expr(keys, n_buckets)
             )
+            dirty = set(touched)
         else:
             # committed zero-row table (schema marker / empty snapshot):
             # behaves like a first write — install every staged bucket
@@ -828,13 +846,38 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
             gone = dedup.select(*keys)
             if deletes is not None:
                 gone = gone.unionByName(deletes)
+            gone = gone.distinct()
             cond = reduce(
                 lambda a, b: a & b,
                 [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
             )
-            merged = existing.alias("t").join(
-                gone.distinct().alias("s"), cond, "left_anti"
-            ).unionByName(dedup)
+            # APPEND FAST PATH (the steady-state-ingest scale property): a
+            # bucket none of whose existing rows matches an update/delete
+            # key is CLEAN — its files stay referenced as-is and only the
+            # new rows are written. Without this, every batch of
+            # uniformly-hashed new keys (new doc ids!) touches every bucket
+            # and copy-on-write rewrites the WHOLE table: O(history) writes
+            # per batch. With it, clean buckets cost O(batch) writes; a
+            # bucket accumulating > AUTO_COMPACT_FILES data files is folded
+            # into the rewrite (inline compaction — amortized O(history /
+            # AUTO_COMPACT_FILES), the Iceberg rewrite_data_files analog).
+            dirty |= {
+                r["__bucket"]
+                for r in existing.alias("t")
+                .join(gone.alias("s"), cond, "left_semi")
+                .select("__bucket").distinct().collect()
+            }
+            dirty |= {
+                b for b in (touched or [])
+                if len(prev_map.get(f"bucket={b}", [])) + 1 > AUTO_COMPACT_FILES
+            }
+            if dirty:
+                survivors = existing.alias("t").join(
+                    gone.alias("s"), cond, "left_anti"
+                ).filter(F.col("__bucket").isin(*[int(b) for b in dirty]))
+                merged = survivors.unionByName(dedup)
+            else:
+                merged = dedup
         else:
             merged = dedup
     else:
@@ -846,6 +889,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     # N_tasks×N_buckets small files per merge. Hash-repartitioning on
     # __bucket gives exactly one file per bucket (at real scale, pair with
     # spark.sql.files.maxRecordsPerFile to re-split oversized buckets).
+    # Only dirty buckets' survivors + the new rows cross this shuffle.
     merged.repartition(n_buckets, F.col("__bucket")).write.partitionBy(
         "__bucket"
     ).mode("overwrite").parquet(staging)
@@ -860,8 +904,9 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         if d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))
     ]
     new_map = dict(prev_map)
-    # untouched buckets inherit their commit-time file stats; touched ones
-    # get fresh footer stats below (manifest-level stats, Iceberg-style)
+    # untouched/clean buckets inherit their commit-time file stats; dirty
+    # ones get fresh footer stats, appended ones accumulate (manifest-level
+    # stats, Iceberg-style)
     new_stats = {
         k: v for k, v in ((state or {}).get("stats") or {}).items() if k in new_map
     }
@@ -870,16 +915,30 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         b = int(d.split("=", 1)[1])
         if touched is not None and b not in touched:
             continue  # defensive; staged buckets always ⊆ touched ∪ first-write
-        bdir = os.path.join(table_path, f"bucket={b}")
+        bname = f"bucket={b}"
+        bdir = os.path.join(table_path, bname)
         os.makedirs(bdir, exist_ok=True)
         nxt = _next_version(bdir)
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
-        new_map[f"bucket={b}"] = nxt
-        new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
+        fresh = _bucket_file_stats(os.path.join(bdir, nxt))
+        if b in dirty or touched is None or not new_map.get(bname):
+            # full rewrite (or first write): the new dir IS the bucket
+            new_map[bname] = [nxt]
+            new_stats[bname] = fresh
+        else:
+            # clean append: prior files stay live, stats accumulate
+            new_map[bname] = new_map[bname] + [nxt]
+            old = new_stats.get(bname) or {}
+            new_stats[bname] = {
+                k: old.get(k, 0) + fresh.get(k, 0)
+                for k in ("rows", "bytes", "files")
+            }
         installed.add(b)
-    # touched buckets with NO staged rows were fully emptied by deletes:
-    # drop them from the snapshot map — an unmapped bucket reads as empty.
-    for b in (touched or []):
+    # DIRTY buckets with NO staged rows were fully emptied by deletes: drop
+    # them from the snapshot map — an unmapped bucket reads as empty. Clean
+    # touched buckets without staged rows (a delete that matched nothing)
+    # keep their files.
+    for b in dirty:
         if b not in installed:
             new_map.pop(f"bucket={b}", None)
             new_stats.pop(f"bucket={b}", None)
@@ -945,7 +1004,7 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         os.makedirs(bdir, exist_ok=True)
         nxt = _next_version(bdir)
         os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
-        new_map[f"bucket={b}"] = nxt
+        new_map[f"bucket={b}"] = [nxt]
         new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
@@ -955,4 +1014,57 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):
             os.remove(cur)
+    _gc_versions(table_path)
+
+
+def compact_table(spark: SparkSession, table_path: str,
+                  max_files: int = 1) -> None:
+    """Rewrite every bucket holding more than ``max_files`` data files into
+    a single file, committed as ONE atomic snapshot (the explicit Iceberg
+    ``rewrite_data_files`` analog; merges also auto-compact a bucket when
+    its file count would pass AUTO_COMPACT_FILES). Row content unchanged —
+    only the file layout; time travel still reads the pre-compaction
+    snapshots until retention expires them."""
+    import os
+    import shutil
+
+    state = _table_state(table_path)
+    if not state:
+        return
+    todo = {
+        b: _as_dirs(vs)
+        for b, vs in state["buckets"].items()
+        if len(_as_dirs(vs)) > max_files
+    }
+    if not todo:
+        return
+    staging = table_path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    n_buckets = state.get("n_buckets") or DEFAULT_MERGE_BUCKETS
+    # each over-full bucket is read and rewritten independently (bounded:
+    # only buckets past the threshold; rows already belong to their bucket)
+    new_map = dict({b: _as_dirs(vs) for b, vs in state["buckets"].items()})
+    new_stats = dict(state.get("stats") or {})
+    for b, vs in todo.items():
+        bpaths = [
+            os.path.join(table_path, b, v) for v in vs
+            if os.path.isdir(os.path.join(table_path, b, v))
+        ]
+        if not bpaths:
+            continue
+        out = os.path.join(staging, b)
+        spark.read.parquet(*bpaths).coalesce(1).write.mode("overwrite").parquet(out)
+        bdir = os.path.join(table_path, b)
+        nxt = _next_version(bdir)
+        os.rename(out, os.path.join(bdir, nxt))
+        new_map[b] = [nxt]
+        new_stats[b] = _bucket_file_stats(os.path.join(bdir, nxt))
+    shutil.rmtree(staging, ignore_errors=True)
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(state["schema"]) if state.get("schema")
+        else _read_schema(table_path)
+    )
+    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats)
     _gc_versions(table_path)

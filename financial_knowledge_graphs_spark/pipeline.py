@@ -131,7 +131,10 @@ def run_pipeline(
         "doc_id", "extraction"
     )
     extracted = extracted.persist()
+    _ph = {}
+    _t = time.time()
     res.docs_processed = extracted.count()
+    _ph["extract"] = round(time.time() - _t, 3); _t = time.time()
 
     def _obs_n(obs, fallback_df):
         # When the resume anti-join (or batch limit) empties the plan,
@@ -158,6 +161,7 @@ def run_pipeline(
         extracted.unpersist()
         return res
 
+    _ph["lineage_prep"] = round(time.time() - _t, 3); _t = time.time()
     mentions = extract.mentions_df(extracted)
     raw_triples = extract.raw_triples_df(extracted)
 
@@ -182,6 +186,7 @@ def run_pipeline(
         ).dropDuplicates(["doc_id", "type", "name"]),
         ["doc_id", "type", "name"],
     )
+    _ph["ledger_merge"] = round(time.time() - _t, 3); _t = time.time()
     # ---- canonicalization: full CC on the first batch, TOUCHED-COMPONENTS-
     # ONLY after (VERDICT r2 watch-item: a full-ledger CC per batch is
     # O(history) at 10^9 distinct surfaces). The persisted graph/mapping
@@ -295,6 +300,7 @@ def run_pipeline(
             spark, paths["surface_mentions"]
         ).join(mapping.select("type", "name").distinct(), ["type", "name"])
 
+    _ph["canonicalize"] = round(time.time() - _t, 3); _t = time.time()
     # vertices feed two actions (count implicit in merge + the merge write
     # itself); triples feed count + merge; both persist so the join chains
     # run once. dropped counts off the persisted endpoint-join intermediate.
@@ -403,6 +409,7 @@ def run_pipeline(
         res.triples, res.dropped_endpoint_rows, n_offvocab = f_triples.result()
         res.extra["offvocab_triples"] = n_offvocab
         f_merge.result()
+    _ph["counts_and_merges"] = round(time.time() - _t, 3); _t = time.time()
 
     # ---- ops: checkpoint + lineage + metrics -------------------------------
     def _lineage_writes():
@@ -420,6 +427,8 @@ def run_pipeline(
         )
         f2 = tp.submit(_lineage_writes)
         f1.result(); f2.result()
+    _ph["ops_tail"] = round(time.time() - _t, 3)
+    res.extra["phase_seconds"] = _ph
     res.seconds = time.time() - t0
     ops.log_metrics(
         run_id, cfg.stage_name,

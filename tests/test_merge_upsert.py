@@ -281,3 +281,62 @@ def test_table_stats_manifest_level(spark, tmp_warehouse):
     # untouched buckets kept identical stats dicts
     same = [b for b in s1["buckets"] if s1["buckets"][b] == s2["buckets"].get(b)]
     assert len(same) >= len(s1["buckets"]) - 1
+
+
+def test_append_fast_path_clean_buckets(spark, tmp_warehouse):
+    """Steady-state ingest: a merge of brand-new keys must NOT rewrite
+    existing files — clean buckets keep their dirs and gain one file."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"old{i}", i) for i in range(200)]), ["k"], n_buckets=4
+    )
+    before = materialize.snapshots(t)[-1]["buckets"]
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"new{i}", i) for i in range(50)]), ["k"], n_buckets=4
+    )
+    after = materialize.snapshots(t)[-1]["buckets"]
+    for b, vs in before.items():
+        old_dirs = vs if isinstance(vs, list) else [vs]
+        new_dirs = after[b] if isinstance(after[b], list) else [after[b]]
+        # prior dirs still referenced (no rewrite), new file appended
+        assert new_dirs[: len(old_dirs)] == old_dirs
+    assert materialize.read_graph_table(spark, t).count() == 250
+    # an UPDATE of an existing key dirties exactly its bucket (rewrite)
+    materialize.merge_upsert(spark, t, _mk(spark, [("old0", 999)]), ["k"], n_buckets=4)
+    got = materialize.read_graph_table(spark, t)
+    assert got.count() == 250
+    assert got.filter(F.col("k") == "old0").collect()[0]["v"] == 999
+    final = materialize.snapshots(t)[-1]["buckets"]
+    rewritten = [b for b in final
+                 if (final[b] if isinstance(final[b], list) else [final[b]])[:1]
+                 != (after[b] if isinstance(after[b], list) else [after[b]])[:1]]
+    assert len(rewritten) == 1
+
+
+def test_auto_and_explicit_compaction(spark, tmp_warehouse):
+    """File counts stay bounded: appends accumulate files per bucket until
+    AUTO_COMPACT_FILES folds the bucket into a rewrite; compact_table
+    squeezes every bucket back to one file with identical rows."""
+    t = os.path.join(tmp_warehouse, "tbl")
+    rows = []
+    for i in range(materialize.AUTO_COMPACT_FILES + 3):
+        batch = [(f"b{i}_k{j}", i) for j in range(20)]
+        rows += batch
+        materialize.merge_upsert(spark, t, _mk(spark, batch), ["k"], n_buckets=2)
+    stats = materialize.table_stats(t)
+    assert stats["rows"] == len(rows)
+    per_bucket_files = [
+        len(v if isinstance(v, list) else [v])
+        for v in materialize.snapshots(t)[-1]["buckets"].values()
+    ]
+    assert max(per_bucket_files) <= materialize.AUTO_COMPACT_FILES
+
+    materialize.compact_table(spark, t, max_files=1)
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == set(rows)
+    per_bucket_files = [
+        len(v if isinstance(v, list) else [v])
+        for v in materialize.snapshots(t)[-1]["buckets"].values()
+    ]
+    assert max(per_bucket_files) == 1
+    assert materialize.table_stats(t)["rows"] == len(rows)
