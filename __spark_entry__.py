@@ -621,6 +621,23 @@ def kg_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors(t, top)
 
 
+def kg_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level table stats (Iceberg-style): row counts read from the
+    snapshot metadata's commit-time parquet-footer stats — ZERO table scan.
+    Oracle = the same counts recomputed from ground truth, so this checks
+    that the stats the merge layer records are exact."""
+    from financial_knowledge_graphs_spark.operators.materialize import table_stats
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    rows = []
+    for t in ("triples", "vertices"):
+        st = table_stats(os.path.join(root, "warehouse", "graph", t))
+        rows.append((t, int(st["rows"]) if st else -1))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long"
+    ).orderBy("table_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (testdata)
@@ -664,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree": kg_degree,
         "kg_two_hop": kg_two_hop,
         "kg_neighbors": kg_neighbors,
+        "kg_table_stats": kg_table_stats,
     }
 
 
@@ -1241,4 +1259,14 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out.update(_kg_oracle_sql())
+    # manifest-stats check: the merge layer's commit-time footer row counts
+    # must equal the ground-truth table sizes (composed from the kg_triples
+    # / kg_vertices oracles so there is a single source of expected truth)
+    out["kg_table_stats"] = f"""
+        SELECT 'triples' AS table_name,
+               (SELECT count(*) FROM ({out['kg_triples']}))::BIGINT AS n_rows
+        UNION ALL
+        SELECT 'vertices' AS table_name,
+               (SELECT count(*) FROM ({out['kg_vertices']}))::BIGINT AS n_rows
+    """
     return out
