@@ -793,25 +793,38 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     )
 
     dedup = updates.dropDuplicates(keys).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+    exists = state is not None or table_exists(table_path)
+    # ONE driver-blocking job answers all three head questions (any update
+    # rows? any delete rows? which buckets touched?) — these were three
+    # separate jobs, and at ~0.5s scheduling latency each across the 4-5
+    # merges a pipeline batch runs, the pure-latency tail added seconds.
+    src = dedup.select("__bucket", F.lit(0).alias("__src"))
     if deletes is not None:
         deletes = deletes.select(*keys).dropDuplicates(keys)
-        if deletes.limit(1).count() == 0:
-            deletes = None
-    exists = state is not None or table_exists(table_path)
-    if exists and deletes is None and dedup.limit(1).count() == 0:
+        src = src.unionByName(
+            deletes.withColumn("__bucket", _bucket_expr(keys, n_buckets))
+            .select("__bucket", F.lit(1).alias("__src"))
+        )
+    per_src = {
+        r["__src"]: set(r["bs"])
+        for r in src.groupBy("__src").agg(
+            F.collect_set("__bucket").alias("bs")
+        ).collect()
+    }
+    upd_buckets = per_src.get(0, set())
+    del_buckets = per_src.get(1, set())
+    if not del_buckets:
+        deletes = None
+    if exists and deletes is None and not upd_buckets:
         return  # nothing to merge; don't churn the table (snapshot no-op)
+    pre_touched = sorted(upd_buckets | del_buckets)
 
     staging = table_path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
 
     dirty: set[int] = set()
     if exists:
-        touched_df = dedup.select("__bucket")
-        if deletes is not None:
-            touched_df = touched_df.unionByName(
-                deletes.withColumn("__bucket", _bucket_expr(keys, n_buckets)).select("__bucket")
-            )
-        touched = sorted(r["__bucket"] for r in touched_df.distinct().collect())
+        touched = pre_touched
         # read ONLY the touched buckets' live data files (legacy flat dirs
         # degrade to a full read + full re-bucket, a one-time migration)
         if prev_map:
