@@ -638,6 +638,53 @@ def kg_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the materialized triples graph —
+    GraphFrames-style iterative DataFrame joins with BIGINT fixed-point
+    arithmetic, so the oracle (DuckDB re-running the same 10 supersteps
+    over GT edges, unrolled CTEs) matches bit-for-bit."""
+    from financial_knowledge_graphs_spark.operators.graph import edge_list, pagerank
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return pagerank(edge_list(t), iters=10)
+
+
+def kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances from the top-degree entity (same
+    deterministic pick as kg_neighbors), depth-capped at 6. Oracle = a
+    depth-bounded recursive CTE over GT edges with min(dist) roll-up —
+    identical semantics because hop counts are integers."""
+    from financial_knowledge_graphs_spark.operators.graph import (
+        bfs_distances, degree_table, edge_list,
+    )
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    top = (
+        degree_table(t)
+        .orderBy(F.desc("degree"), F.asc("name"))
+        .limit(1)
+        .collect()[0]["name"]
+    )
+    return bfs_distances(edge_list(t), top, max_depth=6)
+
+
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the undirected simple graph of the
+    materialized triples (ordered two-join enumeration, each triangle once)."""
+    from financial_knowledge_graphs_spark.operators.graph import (
+        edge_list, triangle_counts,
+    )
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return triangle_counts(edge_list(t))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (testdata)
@@ -682,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": kg_two_hop,
         "kg_neighbors": kg_neighbors,
         "kg_table_stats": kg_table_stats,
+        "kg_pagerank": kg_pagerank,
+        "kg_bfs": kg_bfs,
+        "kg_triangles": kg_triangles,
     }
 
 
@@ -757,7 +807,69 @@ def _kg_oracle_sql() -> dict[str, str]:
         for i in range(1, 33)
     )
 
+    # --- integer-fixed-point PageRank, 10 supersteps unrolled ------------
+    from financial_knowledge_graphs_spark.operators.graph import PR_SCALE
+
+    pr_tele = 15 * PR_SCALE // 100
+    pr_ctes = [
+        f"e AS (SELECT DISTINCT subj AS src, obj AS dst FROM {gt_t} WHERE subj <> obj)",
+        "v AS (SELECT src AS name FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY 1)",
+        f"r0 AS (SELECT name, {PR_SCALE}::BIGINT AS rank FROM v)",
+    ]
+    for i in range(1, 11):
+        pr_ctes.append(
+            f"""r{i} AS (
+              SELECT v.name,
+                     ({pr_tele} + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+              FROM v LEFT JOIN (
+                SELECT e.dst AS name, sum(r.rank // od.od)::BIGINT AS s
+                FROM e JOIN r{i - 1} r ON e.src = r.name
+                       JOIN od ON od.src = e.src
+                GROUP BY 1) s ON v.name = s.name)"""
+        )
+    pr_sql = (
+        "WITH " + ",\n".join(pr_ctes)
+        + "\nSELECT name, rank AS rank_scaled FROM r10"
+    )
+
     return {
+        "kg_pagerank": pr_sql,
+        "kg_bfs": f"""
+            WITH RECURSIVE
+            e AS (SELECT DISTINCT subj AS src, obj AS dst FROM {gt_t}
+                  WHERE subj <> obj),
+            o AS (SELECT subj AS name, count(*) AS od FROM {gt_t} GROUP BY 1),
+            i AS (SELECT obj AS name, count(*) AS id_ FROM {gt_t} GROUP BY 1),
+            deg AS (
+              SELECT coalesce(o.name, i.name) AS name,
+                     coalesce(od, 0) + coalesce(id_, 0) AS degree
+              FROM o FULL OUTER JOIN i ON o.name = i.name),
+            top AS (SELECT name FROM deg ORDER BY degree DESC, name ASC LIMIT 1),
+            p(name, dist) AS (
+              SELECT name, 0 FROM top
+              UNION
+              SELECT e.dst, p.dist + 1 FROM p JOIN e ON e.src = p.name
+              WHERE p.dist < 6
+            )
+            SELECT name, min(dist)::INT AS dist FROM p GROUP BY name
+        """,
+        "kg_triangles": f"""
+            WITH e AS (SELECT DISTINCT subj AS src, obj AS dst FROM {gt_t}
+                       WHERE subj <> obj),
+            u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM e),
+            tri AS (SELECT e1.a, e1.b, e2.b AS c
+                    FROM u e1 JOIN u e2 ON e2.a = e1.b
+                              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT a AS name FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri),
+            per AS (SELECT name, count(*) AS n FROM corners GROUP BY 1),
+            v AS (SELECT a AS name FROM u UNION SELECT b FROM u)
+            SELECT v.name, coalesce(per.n, 0)::BIGINT AS n_triangles
+            FROM v LEFT JOIN per ON v.name = per.name
+        """,
         "kg_triples": f"""
             SELECT doc_id, subj AS subj_name, pred, obj AS obj_name,
                    value_amount AS valueAmount, percentage,

@@ -69,6 +69,143 @@ def neighbors(triples: DataFrame, entity_name: str) -> DataFrame:
     return fwd.unionByName(bwd).distinct()
 
 
+def edge_list(triples: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) canonical-name edges, self-loops dropped
+    — the input shape for the iterative analytics below. One hash agg on the
+    bucketed key; at scale this is the already-partitioned triples table
+    projected to two columns (column pruning reaches the scan)."""
+    return (
+        triples.select(
+            F.col("subj_name").alias("src"), F.col("obj_name").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+PR_SCALE = 1_000_000_000  # rank fixed-point unit (1.0 == PR_SCALE)
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping_pct: int = 85,
+             checkpoint_every: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank via iterative DataFrame joins
+    (GraphFrames-style: join-aggregate per superstep, lineage cut by
+    localCheckpoint so the plan stays shallow at any iteration count).
+
+    All arithmetic is BIGINT fixed-point (``PR_SCALE`` units, integer
+    division) so the result is EXACTLY deterministic across partitionings,
+    executor counts, and engines — BIGINT sums are order-independent,
+    unlike float accumulation. This is what makes a cross-engine oracle
+    (DuckDB re-running the same supersteps) hash-match bit-for-bit.
+
+    Semantics: per-vertex rank starts at 1.0; each superstep a vertex
+    receives ``teleport + damping * sum(rank[src] / out_deg[src])`` over its
+    in-edges. Dangling-vertex mass is not redistributed (the common basic
+    variant). Returns (name, rank_scaled BIGINT).
+
+    Scale notes: each superstep is one shuffle on dst (partial aggregation
+    map-side) plus a broadcast-or-shuffled join of the rank vector with the
+    edge list on src — the edge list is re-used every step, so a real
+    deployment caches it partitioned by src and the join is co-located.
+    """
+    teleport = (100 - damping_pct) * PR_SCALE // 100
+    verts = (
+        edges.select(F.col("src").alias("name"))
+        .unionByName(edges.select(F.col("dst").alias("name")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # edge + out-degree is loop-invariant: materialize once, reuse per step
+    e = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    verts = verts.localCheckpoint(eager=True)
+    ranks = verts.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.name)
+            .select(F.col("dst").alias("name"), F.expr("rank div od").alias("c"))
+            .groupBy("name")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(contrib, "name", "left").select(
+            "name",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("name", F.col("rank").alias("rank_scaled"))
+
+
+def bfs_distances(edges: DataFrame, source: str, max_depth: int = 6) -> DataFrame:
+    """Single-source BFS shortest-path distances (hop counts), depth-capped.
+
+    Classic frontier iteration: expand the frontier one hop, anti-join the
+    visited set, stop when the frontier empties or the cap is hit. Each
+    superstep is one join on src + one anti-join — both on the same key, so
+    a src-partitioned edge cache runs it without re-shuffling the edges.
+    The per-step driver check is a count of the (small) frontier, not the
+    graph. Returns (name, dist) for every vertex reachable in <= max_depth
+    hops; deterministic (hop counts are integers).
+    """
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "name string, dist int"
+    )
+    e = edges.localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.name == e.src)
+            .select(F.col("dst").alias("name"), F.lit(d).alias("dist"))
+            .distinct()
+            .join(dist, "name", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle count over the undirected simple graph.
+
+    Edges are canonicalized to (a < b) pairs, then triangles are enumerated
+    by the standard two-join ordering (a<b<c) so each triangle is found
+    exactly once; per-vertex counts credit all three corners. Joins are
+    equi-joins on vertex name — at scale the ordered edge list is the
+    shuffle unit and AQE's skew handling covers hub vertices. Deterministic
+    (pure counting). Returns (name, n_triangles) for EVERY vertex.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("name"))
+        .unionByName(tri.select(F.col("b").alias("name")))
+        .unionByName(tri.select(F.col("c").alias("name")))
+    )
+    per = corners.groupBy("name").agg(F.count(F.lit(1)).alias("n_triangles"))
+    verts = (
+        und.select(F.col("a").alias("name"))
+        .unionByName(und.select(F.col("b").alias("name")))
+        .distinct()
+    )
+    return verts.join(per, "name", "left").select(
+        "name", F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles")
+    )
+
+
 def two_hop(triples: DataFrame) -> DataFrame:
     """Distinct 2-hop (a)-[p1]->(b)-[p2]->(c) paths, a != c. Self-join on
     the canonical id — the bucketed key — so a co-located deployment runs

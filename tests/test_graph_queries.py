@@ -62,3 +62,52 @@ def test_sql_view_surface(spark, tmp_warehouse, small_corpus):
     assert via_sql.exceptAll(via_df).count() == 0
     assert via_df.exceptAll(via_sql).count() == 0
     assert spark.sql("SELECT count(*) FROM metrics").first()[0] > 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_hand_checkable(spark):
+    # a -> b, a -> c, b -> c: c must outrank b, b must outrank a (a gets
+    # teleport only); total determinism: two runs bit-identical.
+    e = graph.edge_list(
+        _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")]).selectExpr(
+            "src as subj_name", "dst as obj_name"
+        ).withColumn("pred", F.lit("x"))
+        .selectExpr("subj_name", "pred", "obj_name")
+    )
+    r = {x["name"]: x["rank_scaled"] for x in graph.pagerank(e, iters=10).collect()}
+    assert set(r) == {"a", "b", "c"}
+    assert r["c"] > r["b"] > r["a"]
+    assert r["a"] == 15 * graph.PR_SCALE // 100  # teleport only, exactly
+    r2 = {x["name"]: x["rank_scaled"] for x in graph.pagerank(e, iters=10).collect()}
+    assert r == r2
+
+
+def test_pagerank_cycle_conserves_mass(spark):
+    # pure 3-cycle: symmetric, every vertex keeps rank exactly 1.0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    r = {x["name"]: x["rank_scaled"] for x in graph.pagerank(e, iters=7).collect()}
+    assert set(r.values()) == {graph.PR_SCALE}
+
+
+def test_bfs_distances(spark):
+    # chain a->b->c->d plus shortcut a->c: dist(c)=1 not 2; e unreachable
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")])
+    d = {x["name"]: x["dist"] for x in graph.bfs_distances(e, "a").collect()}
+    assert d == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # depth cap honored
+    d2 = {x["name"]: x["dist"] for x in graph.bfs_distances(e, "a", max_depth=1).collect()}
+    assert d2 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_triangle_counts(spark):
+    # triangle a-b-c (via directed edges incl. a reverse duplicate) plus
+    # pendant d: counts 1,1,1,0; duplicate/reversed edges collapse
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("c", "d")],
+    )
+    t = {x["name"]: x["n_triangles"] for x in graph.triangle_counts(e).collect()}
+    assert t == {"a": 1, "b": 1, "c": 1, "d": 0}
