@@ -685,6 +685,22 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edge_list(t))
 
 
+def kg_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over the materialized triples graph
+    (hash-min label propagation to fixpoint; component id = lexicographic
+    min member). Oracle = the same min-propagation unrolled 12 supersteps
+    over GT edges — equal because the fixture graph's diameter is far
+    below 12, so both sides are at the fixpoint."""
+    from financial_knowledge_graphs_spark.operators.graph import (
+        edge_list, weakly_connected_components,
+    )
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return weakly_connected_components(edge_list(t))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked (testdata)
@@ -732,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "kg_bfs": kg_bfs,
         "kg_triangles": kg_triangles,
+        "kg_wcc": kg_wcc,
     }
 
 
@@ -833,8 +850,32 @@ def _kg_oracle_sql() -> dict[str, str]:
         + "\nSELECT name, rank AS rank_scaled FROM r10"
     )
 
+    # --- WCC: hash-min label propagation, 12 supersteps unrolled ---------
+    wcc_ctes = [
+        f"de AS (SELECT DISTINCT subj AS src, obj AS dst FROM {gt_t} WHERE subj <> obj)",
+        "u AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de)",
+        "l0 AS (SELECT DISTINCT src AS name, src AS comp FROM u)",
+    ]
+    # MATERIALIZED is load-bearing: l{{i-1}} is referenced twice per level;
+    # an inlining planner would double the subtree per superstep (2^12)
+    for i in range(1, 13):
+        wcc_ctes.append(
+            f"""l{i} AS MATERIALIZED (
+              SELECT l.name,
+                     least(l.comp, coalesce(nm.nbr_comp, l.comp)) AS comp
+              FROM l{i - 1} l LEFT JOIN (
+                SELECT u.dst AS name, min(p.comp) AS nbr_comp
+                FROM u JOIN l{i - 1} p ON u.src = p.name
+                GROUP BY 1) nm ON l.name = nm.name)"""
+        )
+    wcc_sql = (
+        "WITH " + ",\n".join(wcc_ctes)
+        + "\nSELECT name, comp AS component FROM l12"
+    )
+
     return {
         "kg_pagerank": pr_sql,
+        "kg_wcc": wcc_sql,
         "kg_bfs": f"""
             WITH RECURSIVE
             e AS (SELECT DISTINCT subj AS src, obj AS dst FROM {gt_t}

@@ -78,6 +78,17 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents"))
     alias = spark.read.parquet(os.path.join(corpus_dir, "alias_dict"))
 
+    # ---- untimed warmup: one tiny pipeline run (500 docs) so the timed
+    # measurement reflects steady-state throughput, not one-time JVM class
+    # loading / whole-stage-codegen compilation / Python-worker spawn (~15s
+    # of pure first-run cost at local[32]; a long-lived cluster pays it
+    # once per session, not per job — same exclusion as corpus generation).
+    wh_warm = tempfile.mkdtemp(prefix="fkg_bench_warm_")
+    run_pipeline(
+        spark, docs.limit(500), alias, PipelineConfig(warehouse=wh_warm)
+    )
+    shutil.rmtree(wh_warm, ignore_errors=True)
+
     # ---- timed: end-to-end KG pipeline ------------------------------------
     wh = tempfile.mkdtemp(prefix="fkg_bench_wh_")
     t0 = time.time()

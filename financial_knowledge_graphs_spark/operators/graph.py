@@ -169,6 +169,63 @@ def bfs_distances(edges: DataFrame, source: str, max_depth: int = 6) -> DataFram
     return dist
 
 
+def weakly_connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Weakly-connected components by hash-min label propagation to
+    fixpoint — the public, generic face of the canonicalization CC
+    (operators/components.py runs the same contraction over linking pairs;
+    reference disambiguates at insert time, neo4j_handler.py:70-134).
+
+    Each superstep every vertex takes the min(label) of itself and its
+    undirected neighbors; convergence in O(diameter) supersteps, each one
+    join + one aggregation on vertex name (same key both times — one
+    co-located shuffle per step at scale, lineage cut by localCheckpoint).
+    Labels are vertex names (string min) so the result is deterministic:
+    component id == lexicographically smallest member name.
+    Returns (name, component).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("name"))
+        .distinct()
+        .withColumn("comp", F.col("name"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.src == labels.name)
+            .groupBy(F.col("dst").alias("name"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        nxt = (
+            labels.join(nbr_min, "name", "left")
+            .select(
+                "name",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "name")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("name", F.col("comp").alias("component"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle count over the undirected simple graph.
 

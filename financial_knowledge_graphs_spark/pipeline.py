@@ -131,7 +131,7 @@ def run_pipeline(
         "doc_id", "extraction"
     )
     extracted = extracted.persist()
-    _ph = {}
+    _ph = {"setup": round(time.time() - t0, 3)}
     _t = time.time()
     res.docs_processed = extracted.count()
     _ph["extract"] = round(time.time() - _t, 3); _t = time.time()
@@ -427,8 +427,7 @@ def run_pipeline(
         )
         f2 = tp.submit(_lineage_writes)
         f1.result(); f2.result()
-    _ph["ops_tail"] = round(time.time() - _t, 3)
-    res.extra["phase_seconds"] = _ph
+    _ph["ops_tail"] = round(time.time() - _t, 3); _t = time.time()
     res.seconds = time.time() - t0
     ops.log_metrics(
         run_id, cfg.stage_name,
@@ -449,4 +448,6 @@ def run_pipeline(
     triples_all.unpersist()
     for df in _cleanup:
         df.unpersist()
+    _ph["metrics_tail"] = round(time.time() - _t, 3)
+    res.extra["phase_seconds"] = _ph
     return res

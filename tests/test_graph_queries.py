@@ -111,3 +111,19 @@ def test_triangle_counts(spark):
     )
     t = {x["name"]: x["n_triangles"] for x in graph.triangle_counts(e).collect()}
     assert t == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_wcc_two_components(spark):
+    # {a,b,c} connected (one directed edge each way mixes), {x,y} separate
+    e = _edges(spark, [("b", "a"), ("c", "b"), ("y", "x")])
+    c = {r["name"]: r["component"] for r in
+         graph.weakly_connected_components(e).collect()}
+    assert c == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_wcc_chain_beyond_one_step(spark):
+    # a path graph forces multi-superstep propagation (diameter 5)
+    e = _edges(spark, [(chr(98 + i), chr(97 + i)) for i in range(5)])
+    c = {r["name"]: r["component"] for r in
+         graph.weakly_connected_components(e).collect()}
+    assert set(c.values()) == {"a"}
