@@ -152,7 +152,9 @@ def bfs_distances(edges: DataFrame, source: str, max_depth: int = 6) -> DataFram
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "name string, dist int"
     )
-    e = edges.localCheckpoint(eager=True)
+    # src-partitioned adjacency: every expansion joins on src, so only the
+    # (small) frontier shuffles per step, never the edge list
+    e = edges.repartition("src").localCheckpoint(eager=True)
     frontier = dist
     for d in range(1, max_depth + 1):
         nxt = (
@@ -183,12 +185,17 @@ def weakly_connected_components(edges: DataFrame, max_iters: int = 30) -> DataFr
     component id == lexicographically smallest member name.
     Returns (name, component).
     """
+    # pin the (loop-invariant) adjacency to src-hash partitioning: distinct
+    # leaves it hashed on (src, dst), which does NOT satisfy the per-step
+    # join on src — without this the full edge list would reshuffle every
+    # superstep; with it only the (vertex-sized) label table moves.
     und = (
         edges.select("src", "dst")
         .unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     labels = (
