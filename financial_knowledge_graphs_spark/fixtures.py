@@ -17,6 +17,7 @@ closure capture.
 from __future__ import annotations
 
 import hashlib
+import math
 import random
 from typing import Any, Iterator
 
@@ -186,10 +187,15 @@ def _doc_class(doc_idx: int) -> str:
 
 
 def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
-                  short: bool = False) -> dict[str, Any]:
+                  short: bool = False, zipf: bool = False) -> dict[str, Any]:
     rng = random.Random(f"{seed}:{doc_idx}:doc")
     n_comp = len(companies)
-    # entity draw: hub with p=0.30; 10 mid-frequency; long tail
+    # entity draw: hub with p=0.30; 10 mid-frequency; long tail. The tail is
+    # UNIFORM by default (the committed oracle fixture depends on this —
+    # never change the default); zipf=True makes it log-uniform (density
+    # ~1/rank, Zipf s≈1), the realistic regime where an ingest batch
+    # mentions hubs + a small popularity-tail subset instead of almost
+    # every entity — the regime incremental canonicalization targets.
     chosen: list[int] = []
     if rng.random() < 0.30 and n_comp > 1:
         chosen.append(0)
@@ -197,6 +203,9 @@ def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
     while len(chosen) < n_target:
         if rng.random() < 0.25 and n_comp > 11:
             c = rng.randint(1, 10)  # mid-frequency block
+        elif zipf and n_comp > 2:
+            c = min(n_comp - 1,
+                    int(math.exp(rng.random() * math.log(n_comp - 1))))
         else:
             c = rng.randrange(1, n_comp) if n_comp > 1 else 0
         if c not in chosen:
@@ -368,7 +377,8 @@ def _spans_from_sentences(sentences: list[str], doc_idx: int, rng: random.Random
     return spans
 
 
-def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int) -> dict[str, Any]:
+def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
+            zipf: bool = False) -> dict[str, Any]:
     """Pure per-doc generator → one wide corpus row (doc + GT columns)."""
     klass = _doc_class(doc_idx)
     if klass == "dup" and doc_idx < 100:
@@ -377,7 +387,7 @@ def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int) -> dict[st
         # duplicate the story of a good doc from the PREVIOUS block, so the
         # original (lower doc_id, carrying the GT) survives keep-first dedup
         src_idx = doc_idx - 100 + 13 + (doc_idx % 100)
-        src = _gen_good_doc(src_idx, companies, seed)
+        src = _gen_good_doc(src_idx, companies, seed, zipf=zipf)
         rng = random.Random(f"{seed}:{doc_idx}:dup")
         spans = _spans_from_sentences(src["sentences"], doc_idx, rng, rng.random() < 0.3)
         return {
@@ -401,7 +411,7 @@ def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int) -> dict[st
             "entities": [], "relationships": [], "triples": [],
         }
     short = klass == "short"
-    d = _gen_good_doc(doc_idx, companies, seed, short=short)
+    d = _gen_good_doc(doc_idx, companies, seed, short=short, zipf=zipf)
     spans = _spans_from_sentences(d["sentences"], doc_idx, d["rng"], d["scramble"])
     return {
         "doc_id": f"doc_{doc_idx:08d}",
@@ -447,7 +457,8 @@ _CORPUS_SCHEMA = StructType(
 
 
 def corpus_df(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
-              n_companies: int | None = None, partitions: int | None = None) -> DataFrame:
+              n_companies: int | None = None, partitions: int | None = None,
+              zipf: bool = False) -> DataFrame:
     """Wide corpus DataFrame: documents + per-doc ground truth, generated
     executor-side. Deterministic in (n_docs, seed, n_companies)."""
     import pandas as pd
@@ -460,7 +471,7 @@ def corpus_df(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
         for pdf in batches:
             rows = []
             for doc_idx in pdf["id"]:
-                d = gen_doc(int(doc_idx), companies, seed)
+                d = gen_doc(int(doc_idx), companies, seed, zipf=zipf)
                 rng = random.Random(f"{seed}:{int(doc_idx)}:meta")
                 d["transmission_date"] = (
                     f"{rng.randint(2018, 2025):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
@@ -514,11 +525,12 @@ def alias_dict_df(spark: SparkSession, n_companies: int, seed: int = 42) -> Data
 
 
 def write_corpus(spark: SparkSession, out_dir: str, n_docs: int = 1000,
-                 seed: int = 42, n_companies: int | None = None) -> None:
+                 seed: int = 42, n_companies: int | None = None,
+                 zipf: bool = False) -> None:
     """Materialize documents / alias_dict / gt_extractions / gt_triples as
     parquet under ``out_dir`` (the local stand-in for Iceberg tables)."""
     n_companies = n_companies or max(20, n_docs // 20)
-    corpus = corpus_df(spark, n_docs, seed, n_companies)
+    corpus = corpus_df(spark, n_docs, seed, n_companies, zipf=zipf)
     corpus.cache()
     documents_df(corpus).write.mode("overwrite").parquet(f"{out_dir}/documents")
     gt_extractions_df(corpus).write.mode("overwrite").parquet(f"{out_dir}/gt_extractions")

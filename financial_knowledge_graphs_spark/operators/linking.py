@@ -45,15 +45,25 @@ def name_keys(mentions: DataFrame) -> DataFrame:
     )
 
 
-def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
+def similarity_edges(keys: DataFrame, max_block: int = 1000,
+                     anchor: str | None = None) -> DataFrame:
     """Candidate pairs (key_a, key_b) that the reference would merge.
 
     Exact-name duplicates never reach this join (name_keys is distinct), so
     edges here are exactly the fuzzy-match graph. Output is one direction
     (key_a < key_b); connected components symmetrizes.
+
+    ``anchor``: name of a boolean column on ``keys``; when set, only pairs
+    with at least one anchored side are emitted. The incremental
+    canonicalization path uses this to verify new↔old and new↔new pairs
+    without re-verifying old↔old pairs whose connectivity is already known.
+    The anchor filter runs BEFORE the string predicates, so purged pairs
+    never pay the containment/Jaccard work.
     """
+    anchor_cols = [anchor] if anchor else []
     toks = keys.select(
-        "key", "type", "norm", "tokens", F.explode("tokens").alias("tok")
+        "key", "type", "norm", "tokens", *anchor_cols,
+        F.explode("tokens").alias("tok"),
     )
     # cap degenerate blocks (see module docstring, step 4)
     block_sizes = toks.groupBy("type", "tok").agg(F.count(F.lit(1)).alias("bs"))
@@ -67,11 +77,13 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
         F.col("type"), F.col("tok"),
         F.col("key").alias("key_a"), F.col("norm").alias("norm_a"),
         F.col("tokens").alias("tokens_a"),
+        *([F.col(anchor).alias("anchor_a")] if anchor else []),
     )
     b = toks.select(
         F.col("type"), F.col("tok"),
         F.col("key").alias("key_b"), F.col("norm").alias("norm_b"),
         F.col("tokens").alias("tokens_b"),
+        *([F.col(anchor).alias("anchor_b")] if anchor else []),
     )
     # containment gate (reference src/db/neo4j_handler.py:123-124)
     contained = (
@@ -85,9 +97,11 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000) -> DataFrame:
     # key_b), so multi-token duplicate pairs agree — filtering FIRST shrinks
     # the dedupe shuffle from every candidate pair (with token arrays) to
     # just surviving edges (~50x less shuffle volume at sf0.1-equivalent)
+    pairs = a.join(b, ["type", "tok"]).filter(F.col("key_a") < F.col("key_b"))
+    if anchor:
+        pairs = pairs.filter(F.col("anchor_a") | F.col("anchor_b"))
     return (
-        a.join(b, ["type", "tok"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        pairs
         .filter(contained & (jaccard > 0.5))
         .select("key_a", "key_b", jaccard.alias("jaccard"))
         .dropDuplicates(["key_a", "key_b"])
@@ -136,14 +150,16 @@ def raw_char_ngrams_expr(col: Column | str, n: int = 3) -> Column:
 
 def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
                                n: int = 3, dim: int = 64,
-                               max_block: int = 1000) -> DataFrame:
+                               max_block: int = 1000,
+                               anchor: str | None = None) -> DataFrame:
     """Candidate pairs (key_a < key_b, cosine) with char-n-gram cosine ≥
     threshold. Blocking: shared RAW character n-gram within the same type
     (a pair with high cosine necessarily shares grams), block-capped like
     every other pair join in this engine; dim only shapes the hashed
-    cosine vectors."""
+    cosine vectors. ``anchor`` as in :func:`similarity_edges`."""
+    anchor_cols = [anchor] if anchor else []
     v = keys.select(
-        "key", "type",
+        "key", "type", *anchor_cols,
         char_ngram_buckets_expr(F.col("norm"), n, dim).alias("bks"),
         raw_char_ngrams_expr(F.col("norm"), n).alias("grams"),
     ).withColumn(
@@ -156,24 +172,29 @@ def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
         "nrm",
         F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, x: s + x * x)),
     )
-    ex = v.select("key", "type", "vec", "nrm", F.explode("grams").alias("bk"))
+    ex = v.select("key", "type", "vec", "nrm", *anchor_cols,
+                  F.explode("grams").alias("bk"))
     sizes = ex.groupBy("type", "bk").agg(F.count(F.lit(1)).alias("bs"))
     ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), ["type", "bk"], "left_anti")
     a = ex.select(
         "type", "bk", F.col("key").alias("key_a"),
         F.col("vec").alias("va"), F.col("nrm").alias("na"),
+        *([F.col(anchor).alias("anchor_a")] if anchor else []),
     )
     b = ex.select(
         "type", "bk", F.col("key").alias("key_b"),
         F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+        *([F.col(anchor).alias("anchor_b")] if anchor else []),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
     cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    pairs = a.join(b, ["type", "bk"]).filter(F.col("key_a") < F.col("key_b"))
+    if anchor:
+        pairs = pairs.filter(F.col("anchor_a") | F.col("anchor_b"))
     return (
-        a.join(b, ["type", "bk"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        pairs
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")

@@ -113,64 +113,102 @@ def canonical_mapping_incremental(
       5. re-assigns content-addressed entity ids on the new components.
 
     Returns mapping rows (key, type, name, norm, comp, entity_id) for the
-    sub-universe — new surfaces plus every member of a touched component;
-    rows for untouched components are absent (caller keeps prior rows).
-    Cost is O(batch + touched members), independent of history size.
+    CHANGED surfaces only — genuinely-new surfaces plus prior surfaces whose
+    (comp, entity_id) moved; unchanged rows (including every row of an
+    untouched component) are absent, so the downstream mapping MERGE and
+    tombstone derivation are O(changed), not O(sub-universe). Cost is
+    O(batch + edge-touched members), independent of history size.
 
-    Cap caveat: recomputed sub-universe edges can include pairs the
-    original full-universe run dropped via oversized-block purging (the
-    block may be under ``max_block`` within the sub-universe), so a
-    cap-bound corpus may merge slightly MORE than a from-scratch run —
-    never less (the virtual edges keep every prior merge).
+    Edge build is ANCHORED on the new surfaces: old↔old connectivity is
+    already encoded in the prior comp labels (virtual edges below), so only
+    new↔old and new↔new pairs are verified. Components are pulled only when
+    an actual verified edge reaches them — a shared blocking token alone no
+    longer drags a component into the re-link (the round-3 diagnosis: under
+    a Zipf tail, token-bridge fan-out pulled ~35 components per genuinely
+    new surface and re-verified + re-emitted all of them per batch).
+
+    Block-cap parity: every block containing a new surface carries ALL its
+    global members (the bridge pulls every prior surface sharing the
+    token), so oversized-block purging sees exact global sizes — identical
+    to a from-scratch run at this point in history. The only remaining
+    divergence is inherent to incrementality: merges are monotone, so an
+    edge formed when its block was under the cap persists even after the
+    block later outgrows it (a from-scratch run would purge it).
     """
     from .linking import raw_char_ngrams_expr
     from .normalize import norm_tokens_expr
 
-    new_keys = batch_keys.join(prior_map.select("key"), "key", "left_anti")
+    key_cols = ["key", "type", "name", "norm", "tokens"]
+    new_keys = batch_keys.join(
+        prior_map.select("key"), "key", "left_anti"
+    ).select(*key_cols)
     prior_keys = prior_map.select(
         "key", "type", "name", "norm", "comp",
         norm_tokens_expr("name").alias("tokens"),
     )
 
-    # --- blocking-token bridge: prior surfaces a new surface could link to
-    new_toks = new_keys.select("type", F.explode("tokens").alias("tok")).distinct()
+    # --- bridge: prior surfaces sharing a blocking token (plus a raw char
+    # n-gram when embedding linking is on) with a genuinely-new surface
     if embedding_link:
-        new_toks = new_toks.unionByName(
-            new_keys.select(
-                "type", F.explode(raw_char_ngrams_expr("norm")).alias("tok")
-            ).distinct()
-        ).distinct()
-        prior_tok = prior_keys.select(
-            "key", "comp", "type",
-            F.array_union(
-                "tokens", raw_char_ngrams_expr("norm")
-            ).alias("toks"),
-        )
+        def _tok_of(df):
+            return df.select(
+                "key", "type",
+                F.explode(
+                    F.array_union("tokens", raw_char_ngrams_expr("norm"))
+                ).alias("tok"),
+            )
     else:
-        prior_tok = prior_keys.select(
-            "key", "comp", "type", F.col("tokens").alias("toks")
-        )
-    cand = (
-        prior_tok.select("key", "comp", "type", F.explode("toks").alias("tok"))
+        def _tok_of(df):
+            return df.select("key", "type", F.explode("tokens").alias("tok"))
+
+    new_toks = _tok_of(new_keys).select("type", "tok").distinct()
+    bridged = (
+        _tok_of(prior_keys)
         .join(F.broadcast(new_toks), ["type", "tok"])
-        .select("comp")
-        .distinct()
-    )
-    # --- every member of a touched component (components are closed)
-    members = prior_keys.join(cand, "comp").select(
-        "key", "type", "name", "norm", "tokens", F.col("comp").alias("prior_comp")
-    )
-    sub_keys = new_keys.select("key", "type", "name", "norm", "tokens").unionByName(
-        members.drop("prior_comp")
+        .select("key").distinct()
+        .join(prior_keys, "key")
     )
 
-    edges = similarity_edges(sub_keys, max_block=max_block).select("key_a", "key_b")
+    # --- edges: verify ONLY pairs with a new side, over new ∪ bridged
+    cand_universe = new_keys.withColumn("is_new", F.lit(True)).unionByName(
+        bridged.select(*key_cols).withColumn("is_new", F.lit(False))
+    )
+    edges = similarity_edges(
+        cand_universe, max_block=max_block, anchor="is_new"
+    ).select("key_a", "key_b")
     if embedding_link:
         edges = edges.unionByName(
             embedding_similarity_edges(
-                sub_keys, threshold=embedding_threshold, max_block=max_block
+                cand_universe, threshold=embedding_threshold,
+                max_block=max_block, anchor="is_new",
             ).select("key_a", "key_b")
         )
+    # edges feed three consumers (touched-comp derivation, virtual-edge
+    # union, CC) AND sit UPSTREAM of the node set here (unlike the full
+    # path, where the node set feeds the edges). Without truncation the
+    # edge subtree is replicated through members → sub_keys → CC → the
+    # _assign_entity_ids self-join, and the logical plan grows
+    # multiplicatively (observed: explainString OOMs the driver). Eager
+    # localCheckpoint computes the verify join exactly once and replaces
+    # the subtree with an RDD scan leaf — the same lineage-truncation CC
+    # itself uses per round.
+    edges = edges.localCheckpoint(eager=True)
+
+    # --- touched components: prior endpoints of an actual verified edge
+    endpoints = (
+        edges.select(F.col("key_a").alias("key"))
+        .unionByName(edges.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    cand = prior_keys.join(endpoints, "key").select("comp").distinct()
+    # every member of a touched component (components are closed, so
+    # transitive merges via chains of new surfaces stay correct)
+    members = prior_keys.join(cand, "comp").select(
+        "key", "type", "name", "norm", F.col("comp").alias("prior_comp")
+    )
+    sub_keys = new_keys.select("key", "type", "name", "norm").unionByName(
+        members.drop("prior_comp")
+    )
     # virtual edges pin prior components together (comp label is itself a
     # member key, so it is a valid node id)
     virtual = members.filter(F.col("key") != F.col("prior_comp")).select(
@@ -180,8 +218,15 @@ def canonical_mapping_incremental(
     mapped = sub_keys.join(comp, "key", "left").withColumn(
         "comp", F.coalesce("comp", "key")
     )
-    return _assign_entity_ids(mapped).select(
+    out = _assign_entity_ids(mapped).select(
         "key", "type", "name", "norm", "comp", "entity_id"
+    )
+    # --- changed rows only: a member that kept its comp AND entity_id needs
+    # no mapping merge, no tombstone, no vertex-id churn (its n_mentions
+    # refresh rides on touched_eids in the pipeline, derived from updates)
+    return out.join(
+        prior_map.select("key", "comp", "entity_id"),
+        ["key", "comp", "entity_id"], "left_anti",
     )
 
 

@@ -9,7 +9,7 @@ If incremental linking is history-independent, t_incremental ~= t_fresh
 (the gap is the ledger scan + mapping read); the round-2 full-ledger design
 gave t_incremental growing with N.
 
-  python jobs/bench_incremental.py [n_total=500000] [batch=20000] [cpus=8]
+  python jobs/bench_incremental.py [n_total=500000] [batch=20000] [cpus=8] [zipf]
 
 Prints one JSON line.
 """
@@ -30,6 +30,7 @@ def main() -> None:
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    zipf = len(sys.argv) > 4 and sys.argv[4] == "zipf"
 
     from pyspark.sql import functions as F
 
@@ -44,10 +45,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        ".fixtures", f"bench_corpus_n{n_total}_s42")
+                        ".fixtures",
+                        f"bench_corpus_n{n_total}_s42" + ("_zipf" if zipf else ""))
     if not os.path.isdir(root):
-        raise SystemExit(f"no cached corpus at {root} — generate with "
-                         f"jobs/generate_corpus.py first")
+        os.makedirs(root, exist_ok=True)
+        fixtures.write_corpus(spark, root, n_docs=n_total, seed=42, zipf=zipf)
     docs = spark.read.parquet(os.path.join(root, "documents"))
     alias = spark.read.parquet(os.path.join(root, "alias_dict"))
     # split on a digest of doc_id (stable, order-free): ~batch docs held out
@@ -56,7 +58,8 @@ def main() -> None:
     batch_docs = docs.filter(frac_expr < batch)
     n_batch = batch_docs.count()
 
-    out = {"n_total": n_total, "batch_docs": n_batch, "cpus": cpus}
+    out = {"n_total": n_total, "batch_docs": n_batch, "cpus": cpus,
+           "zipf": zipf}
 
     wh = tempfile.mkdtemp(prefix="fkg_incr_wh_")
     t0 = time.time()
@@ -72,12 +75,14 @@ def main() -> None:
     r2 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=wh))
     out["t_incremental_batch"] = round(time.time() - t0, 3)
     out["incremental_processed"] = r2.docs_processed
+    out["incremental_phases"] = r2.extra.get("phase_seconds")
 
     fresh = tempfile.mkdtemp(prefix="fkg_incr_fresh_")
     t0 = time.time()
     r3 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=fresh))
     out["t_fresh_batch"] = round(time.time() - t0, 3)
     out["fresh_processed"] = r3.docs_processed
+    out["fresh_phases"] = r3.extra.get("phase_seconds")
 
     out["incremental_over_fresh"] = round(
         out["t_incremental_batch"] / max(out["t_fresh_batch"], 1e-9), 3

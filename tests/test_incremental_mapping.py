@@ -33,9 +33,10 @@ def test_bridge_surface_merges_prior_components(spark):
     rows = {r["name"]: r for r in updates.collect()}
 
     # bridge B links to BOTH (Jaccard 2/3 and 3/5 > 0.5) -> one component
-    # over X1, X2, B; untouched Omega Systems absent from the updates
-    assert set(rows) == {"Zeta Alpha", "Zeta Alpha Beta Gamma Delta",
-                         "Zeta Alpha Beta"}
+    # over X1, X2, B. CHANGED rows only: X2's comp+id moved, B is new; X1
+    # kept comp (own key is the min) AND id (its norm is the min norm), so
+    # it is absent — as is untouched Omega Systems.
+    assert set(rows) == {"Zeta Alpha Beta Gamma Delta", "Zeta Alpha Beta"}
     comps = {r["comp"] for r in rows.values()}
     assert comps == {"Company|Zeta Alpha"}  # min member key
     ids = {r["entity_id"] for r in rows.values()}
@@ -65,9 +66,29 @@ def test_chained_new_surfaces_transitive_merge(spark):
     # {red,fox,blue} vs {fox,blue,marlin}: j=2/4=0.5 NOT > 0.5 — no direct
     # edge, but containment... instr fails too. So instead: check each new
     # surface merged into its neighbor comp and the chain did NOT overmerge.
+    # Changed-only contract: the prior surfaces kept comp (own key is min)
+    # and id (own norm is min), so only the two new rows come back.
     updates = materialize.canonical_mapping_incremental(prior, name_keys(batch))
     rows = {r["name"]: r["comp"] for r in updates.collect()}
-    assert rows["Red Fox Blue"] == "Company|Red Fox"
-    assert rows["Fox Blue Marlin"] == "Company|Blue Marlin"
-    assert rows["Red Fox"] == "Company|Red Fox"
-    assert rows["Blue Marlin"] == "Company|Blue Marlin"
+    assert rows == {
+        "Red Fox Blue": "Company|Red Fox",
+        "Fox Blue Marlin": "Company|Blue Marlin",
+    }
+
+
+def test_shared_token_without_edge_pulls_nothing(spark):
+    """The round-3 fan-out fix: a new surface sharing a blocking token with
+    prior components but matching NONE of them (predicate fails) must come
+    back as a lone new singleton row — the token-mates' components are not
+    re-linked, not re-emitted."""
+    prior = _prior_map(spark, ["Alpha Systems", "Beta Systems"]).cache()
+    batch = spark.createDataFrame(
+        # shares 'systems' with both priors; Jaccard 1/4 and containment
+        # both fail against each
+        [("Company", "Gamma Systems Extra")], "type string, name string"
+    )
+    updates = materialize.canonical_mapping_incremental(prior, name_keys(batch))
+    rows = updates.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "Gamma Systems Extra"
+    assert rows[0]["comp"] == "Company|Gamma Systems Extra"  # own singleton
