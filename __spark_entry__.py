@@ -621,6 +621,65 @@ def kg_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors(t, top)
 
 
+def ensure_typo_fixture(spark: SparkSession, n_docs: int = 240,
+                        seed: int = 42) -> str:
+    """Typo-alias corpus + the KG pipeline with EMBEDDING-SIMILARITY linking
+    ON (VERDICT r2 next #7: exercise embedding_link end-to-end).
+
+    Every third company's alias rotation includes a space-dropped typo
+    surface ("VertexTech") whose normalized form is one fused token — no
+    shared blocking token, no containment, so the reference's token
+    Jaccard/containment path can NEVER merge it. Only the char-n-gram
+    cosine path can (within-company typo cosine ≥ 0.738; max cross-company
+    0.603 at dim=256), so threshold 0.70 separates cleanly both ways.
+    Memoized on disk like ensure_fixture."""
+    from financial_knowledge_graphs_spark import fixtures
+    from financial_knowledge_graphs_spark.pipeline import PipelineConfig, run_pipeline
+
+    root = _fixture_dir(n_docs, seed) + "_typo"
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    tables_marker = os.path.join(root, "_TABLES")
+    if not os.path.exists(tables_marker):
+        fixtures.write_corpus(spark, root, n_docs=n_docs, seed=seed, typos=True)
+        with open(tables_marker, "w") as f:
+            f.write("ok")
+    docs = spark.read.parquet(os.path.join(root, "documents"))
+    alias = spark.read.parquet(os.path.join(root, "alias_dict"))
+    run_pipeline(
+        spark, docs, alias,
+        PipelineConfig(
+            warehouse=os.path.join(root, "warehouse"),
+            embedding_link=True, embedding_threshold=0.70,
+        ),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def kg_vertices_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity linking END-TO-END (north star: alias-dictionary
+    + embedding linking; reference insert-time disambiguation at
+    src/db/neo4j_handler.py:70-134 extended with the cosine path). Oracle =
+    GT rollup by canonical company on the typo fixture — green ONLY if the
+    embedding edges merged every space-dropped typo surface into its
+    company's entity (token linking provably cannot: no shared token, no
+    containment). pytest holds the negative control: the same fixture
+    without embedding_link splits the typo surfaces into extra entities."""
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_typo_fixture(spark)
+    return read_graph_table(
+        spark, os.path.join(root, "warehouse", "graph", "vertices")
+    ).select(
+        "type", "name", "norm_name", "companyName", "ticker",
+        "industry", "country", "n_mentions",
+    )
+
+
 def kg_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-level table stats (Iceberg-style): row counts read from the
     snapshot metadata's commit-time parquet-footer stats — ZERO table scan.
@@ -735,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (fixture corpus; rows-only)
         "kg_triples": kg_triples,
         "kg_vertices": kg_vertices,
+        "kg_vertices_embedding": kg_vertices_embedding,
         "kg_story_reconstruction": kg_story_reconstruction,
         "kg_eval_metrics": kg_eval_metrics,
         "kg_simhash_pairs": kg_simhash_pairs,
@@ -780,6 +840,35 @@ def _norm_sql(col: str) -> str:
                          '\\s+'),
                        w -> length(w) > 1 AND NOT list_contains({_SUFFIX_LIST}, w)),
                      ' ')"""
+
+
+def _vertices_oracle_sql(gt_e_expr: str) -> str:
+    """GT-based vertices rollup (shared by kg_vertices on the standard
+    fixture and kg_vertices_embedding on the typo fixture): group GT
+    mentions by canonical company, rep surface = max by (count, name),
+    cumulative mention counts; n_mentions cast to BIGINT (DuckDB windowed
+    sum(BIGINT) is HUGEINT — the r2 hash-red root cause)."""
+    return f"""
+            WITH m AS (
+              SELECT e.name AS name,
+                     e.attributes.companyName AS companyName,
+                     e.attributes.ticker AS ticker,
+                     e.attributes.industry AS industry,
+                     e.attributes.country AS country
+              FROM (SELECT unnest(entities) AS e FROM {gt_e_expr})),
+            per_surface AS (
+              SELECT companyName, name, ticker, industry, country, count(*) AS n
+              FROM m GROUP BY ALL),
+            ranked AS (
+              SELECT *,
+                     (sum(n) OVER (PARTITION BY companyName))::BIGINT AS n_mentions,
+                     row_number() OVER (PARTITION BY companyName
+                                        ORDER BY n DESC, name DESC) AS rn
+              FROM per_surface)
+            SELECT 'Company' AS type, name, {_norm_sql('name')} AS norm_name,
+                   companyName, ticker, industry, country, n_mentions
+            FROM ranked WHERE rn = 1
+        """
 
 
 def _kg_oracle_sql() -> dict[str, str]:
@@ -917,27 +1006,14 @@ def _kg_oracle_sql() -> dict[str, str]:
                    transaction_date AS transactionDate
             FROM {gt_t}
         """,
-        "kg_vertices": f"""
-            WITH m AS (
-              SELECT e.name AS name,
-                     e.attributes.companyName AS companyName,
-                     e.attributes.ticker AS ticker,
-                     e.attributes.industry AS industry,
-                     e.attributes.country AS country
-              FROM (SELECT unnest(entities) AS e FROM {gt_e})),
-            per_surface AS (
-              SELECT companyName, name, ticker, industry, country, count(*) AS n
-              FROM m GROUP BY ALL),
-            ranked AS (
-              SELECT *,
-                     (sum(n) OVER (PARTITION BY companyName))::BIGINT AS n_mentions,
-                     row_number() OVER (PARTITION BY companyName
-                                        ORDER BY n DESC, name DESC) AS rn
-              FROM per_surface)
-            SELECT 'Company' AS type, name, {_norm_sql('name')} AS norm_name,
-                   companyName, ticker, industry, country, n_mentions
-            FROM ranked WHERE rn = 1
-        """,
+        "kg_vertices": _vertices_oracle_sql(gt_e),
+        # same GT rollup on the TYPO fixture: canonicalization must merge the
+        # space-dropped typo surfaces (embedding edges only — see
+        # kg_vertices_embedding docstring) for the per-company grouping to
+        # match ground truth
+        "kg_vertices_embedding": _vertices_oracle_sql(
+            f"read_parquet('{_fixture_dir(240) + '_typo'}/gt_extractions/*.parquet')"
+        ),
         "kg_story_reconstruction": f"""
             WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM {docs}),
             agg AS (

@@ -143,16 +143,28 @@ def make_companies(n: int, seed: int = 42) -> list[dict[str, Any]]:
     return companies
 
 
-def aliases_for(comp: dict[str, Any]) -> list[str]:
+def aliases_for(comp: dict[str, Any], typos: bool = False) -> list[str]:
     """3-5 deterministic surface forms with the reference's normalization
     variance (legal suffixes / punctuation / casing —
-    reference src/db/neo4j_handler.py:54-66)."""
+    reference src/db/neo4j_handler.py:54-66).
+
+    ``typos=True`` (opt-in; the committed oracle fixture depends on the
+    default) adds a space-dropped typo surface ("VertexTech") for every
+    third company. Its normalized form is a single fused token, so the
+    token-blocked containment/Jaccard path can NEVER link it (no shared
+    token, no containment) — only the char-n-gram embedding path can
+    (cosine ≈ 0.8-0.9 vs same-company surfaces, ≤ 0.62 cross-company).
+    This is the fixture that makes ``embedding_link=True`` load-bearing
+    end-to-end (north star: alias-dictionary + embedding-similarity
+    linking)."""
     base, suffix = comp["base"], comp["suffix"]
     out = [comp["canonical"], base, base.upper()]
     if suffix in ("Inc.", "Corp", "Ltd", "LLC"):
         out.append(f"{base}, {suffix}")
     if comp["idx"] % 3 == 0:
         out.append(f"{base} {suffix.rstrip('.')}")
+    if typos and comp["idx"] % 3 == 1:
+        out.append(base.replace(" ", ""))
     # dedupe, keep order
     seen: set[str] = set()
     uniq = []
@@ -187,7 +199,8 @@ def _doc_class(doc_idx: int) -> str:
 
 
 def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
-                  short: bool = False, zipf: bool = False) -> dict[str, Any]:
+                  short: bool = False, zipf: bool = False,
+                  typos: bool = False) -> dict[str, Any]:
     rng = random.Random(f"{seed}:{doc_idx}:doc")
     n_comp = len(companies)
     # entity draw: hub with p=0.30; 10 mid-frequency; long tail. The tail is
@@ -212,7 +225,10 @@ def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
             chosen.append(c)
 
     ents = [companies[c] for c in chosen]
-    surface = {c["idx"]: aliases_for(c)[rng.randrange(len(aliases_for(c)))] for c in ents}
+    surface = {
+        c["idx"]: aliases_for(c, typos)[rng.randrange(len(aliases_for(c, typos)))]
+        for c in ents
+    }
 
     sentences: list[str] = []
     # ~10% of docs carry zero relationships (FIXTURES.md §3)
@@ -378,7 +394,7 @@ def _spans_from_sentences(sentences: list[str], doc_idx: int, rng: random.Random
 
 
 def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
-            zipf: bool = False) -> dict[str, Any]:
+            zipf: bool = False, typos: bool = False) -> dict[str, Any]:
     """Pure per-doc generator → one wide corpus row (doc + GT columns)."""
     klass = _doc_class(doc_idx)
     if klass == "dup" and doc_idx < 100:
@@ -387,7 +403,7 @@ def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
         # duplicate the story of a good doc from the PREVIOUS block, so the
         # original (lower doc_id, carrying the GT) survives keep-first dedup
         src_idx = doc_idx - 100 + 13 + (doc_idx % 100)
-        src = _gen_good_doc(src_idx, companies, seed, zipf=zipf)
+        src = _gen_good_doc(src_idx, companies, seed, zipf=zipf, typos=typos)
         rng = random.Random(f"{seed}:{doc_idx}:dup")
         spans = _spans_from_sentences(src["sentences"], doc_idx, rng, rng.random() < 0.3)
         return {
@@ -411,7 +427,8 @@ def gen_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
             "entities": [], "relationships": [], "triples": [],
         }
     short = klass == "short"
-    d = _gen_good_doc(doc_idx, companies, seed, short=short, zipf=zipf)
+    d = _gen_good_doc(doc_idx, companies, seed, short=short, zipf=zipf,
+                      typos=typos)
     spans = _spans_from_sentences(d["sentences"], doc_idx, d["rng"], d["scramble"])
     return {
         "doc_id": f"doc_{doc_idx:08d}",
@@ -458,7 +475,7 @@ _CORPUS_SCHEMA = StructType(
 
 def corpus_df(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
               n_companies: int | None = None, partitions: int | None = None,
-              zipf: bool = False) -> DataFrame:
+              zipf: bool = False, typos: bool = False) -> DataFrame:
     """Wide corpus DataFrame: documents + per-doc ground truth, generated
     executor-side. Deterministic in (n_docs, seed, n_companies)."""
     import pandas as pd
@@ -471,7 +488,7 @@ def corpus_df(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
         for pdf in batches:
             rows = []
             for doc_idx in pdf["id"]:
-                d = gen_doc(int(doc_idx), companies, seed, zipf=zipf)
+                d = gen_doc(int(doc_idx), companies, seed, zipf=zipf, typos=typos)
                 rng = random.Random(f"{seed}:{int(doc_idx)}:meta")
                 d["transmission_date"] = (
                     f"{rng.randint(2018, 2025):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
@@ -514,26 +531,29 @@ def gt_triples_df(corpus: DataFrame) -> DataFrame:
     )
 
 
-def alias_dict_df(spark: SparkSession, n_companies: int, seed: int = 42) -> DataFrame:
+def alias_dict_df(spark: SparkSession, n_companies: int, seed: int = 42,
+                  typos: bool = False) -> DataFrame:
     companies = make_companies(n_companies, seed)
     rows = [
         (a, c["canonical"], c["ticker"], c["industry"], c["country"])
         for c in companies
-        for a in aliases_for(c)
+        for a in aliases_for(c, typos)
     ]
     return spark.createDataFrame(rows, schemas.ALIAS_DICT)
 
 
 def write_corpus(spark: SparkSession, out_dir: str, n_docs: int = 1000,
                  seed: int = 42, n_companies: int | None = None,
-                 zipf: bool = False) -> None:
+                 zipf: bool = False, typos: bool = False) -> None:
     """Materialize documents / alias_dict / gt_extractions / gt_triples as
     parquet under ``out_dir`` (the local stand-in for Iceberg tables)."""
     n_companies = n_companies or max(20, n_docs // 20)
-    corpus = corpus_df(spark, n_docs, seed, n_companies, zipf=zipf)
+    corpus = corpus_df(spark, n_docs, seed, n_companies, zipf=zipf, typos=typos)
     corpus.cache()
     documents_df(corpus).write.mode("overwrite").parquet(f"{out_dir}/documents")
     gt_extractions_df(corpus).write.mode("overwrite").parquet(f"{out_dir}/gt_extractions")
     gt_triples_df(corpus).write.mode("overwrite").parquet(f"{out_dir}/gt_triples")
-    alias_dict_df(spark, n_companies, seed).write.mode("overwrite").parquet(f"{out_dir}/alias_dict")
+    alias_dict_df(spark, n_companies, seed, typos=typos).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/alias_dict")
     corpus.unpersist()

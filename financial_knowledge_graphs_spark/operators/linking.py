@@ -149,14 +149,22 @@ def raw_char_ngrams_expr(col: Column | str, n: int = 3) -> Column:
 
 
 def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
-                               n: int = 3, dim: int = 64,
+                               n: int = 3, dim: int = 256,
                                max_block: int = 1000,
                                anchor: str | None = None) -> DataFrame:
     """Candidate pairs (key_a < key_b, cosine) with char-n-gram cosine ≥
     threshold. Blocking: shared RAW character n-gram within the same type
     (a pair with high cosine necessarily shares grams), block-capped like
     every other pair join in this engine; dim only shapes the hashed
-    cosine vectors. ``anchor`` as in :func:`similarity_edges`."""
+    cosine vectors. ``anchor`` as in :func:`similarity_edges`.
+
+    dim=256: at dim=64, hash collisions on ~10-gram company names inflate
+    unrelated-name cosines by up to +0.16 (measured: "Halcyon Tech" vs
+    "Orion Tech" 0.761 at dim=64 vs 0.603 true) — enough to cross linking
+    thresholds and overmerge distinct companies. 256 buckets makes the
+    hashed cosine track the exact n-gram cosine to <0.01 on this name
+    length; vectors are per DISTINCT surface, so the memory cost is
+    negligible at any scale."""
     anchor_cols = [anchor] if anchor else []
     v = keys.select(
         "key", "type", *anchor_cols,

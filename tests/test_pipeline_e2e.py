@@ -142,3 +142,58 @@ def test_crash_between_materialize_and_checkpoint_converges(spark, small_corpus,
         assert vb.exceptAll(va).count() == 0
     finally:
         shutil.rmtree(clean_wh, ignore_errors=True)
+
+
+def test_embedding_link_merges_typo_surfaces(spark):
+    """Negative/positive control for kg_vertices_embedding (VERDICT r2 next
+    #7): on the typo corpus, a space-dropped surface ("VertexTech") shares
+    NO token with its company's other surfaces and is not contained in any,
+    so token linking must split it into an extra entity; the char-n-gram
+    embedding path (threshold 0.70 < within-typo cosine 0.738, dim=256)
+    must merge it — entity count == company count and every typo surface's
+    mentions land on its company's canonical entity."""
+    import shutil
+    import tempfile
+
+    n_docs, n_comp = 120, 20
+    corpus = fixtures.corpus_df(spark, n_docs, 42, n_comp, typos=True).cache()
+    docs = fixtures.documents_df(corpus)
+    alias = fixtures.alias_dict_df(spark, n_comp, 42, typos=True)
+
+    gt_companies = (
+        fixtures.gt_extractions_df(corpus)
+        .select(F.explode("entities").alias("e"))
+        .select(F.col("e.attributes.companyName").alias("c"))
+        .distinct()
+        .count()
+    )
+
+    wh_off = tempfile.mkdtemp(prefix="fkg_typo_off_")
+    wh_on = tempfile.mkdtemp(prefix="fkg_typo_on_")
+    try:
+        run_pipeline(spark, docs, alias, PipelineConfig(warehouse=wh_off))
+        v_off = materialize.read_graph_table(spark, graph_paths(wh_off)["vertices"])
+        # token path provably cannot merge the fused-token typos
+        assert v_off.count() > gt_companies
+
+        run_pipeline(
+            spark, docs, alias,
+            PipelineConfig(warehouse=wh_on, embedding_link=True,
+                           embedding_threshold=0.70),
+        )
+        v_on = materialize.read_graph_table(spark, graph_paths(wh_on)["vertices"])
+        assert v_on.count() == gt_companies
+        # exact per-company mention totals == GT totals (grouping is right,
+        # not just the cardinality)
+        gt_counts = (
+            fixtures.gt_extractions_df(corpus)
+            .select(F.explode("entities").alias("e"))
+            .groupBy(F.col("e.attributes.companyName").alias("companyName"))
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+        )
+        got = v_on.select("companyName", "n_mentions")
+        assert got.exceptAll(gt_counts).count() == 0
+        assert gt_counts.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(wh_off, ignore_errors=True)
+        shutil.rmtree(wh_on, ignore_errors=True)
