@@ -89,9 +89,137 @@ def _assign_entity_ids(mapped: DataFrame) -> DataFrame:
     ).drop("comp_norm", "comp_key")
 
 
+_MAPPING_SCHEMA = "key string, type string, name string, norm string, comp string, entity_id string"
+
+
+def _incremental_mapping_driver(prior_map: DataFrame, cand_pdf,
+                                max_block: int) -> DataFrame:
+    """Driver twin of the distributed incremental path (token edges only).
+
+    Every step mirrors the Catalyst expressions bit-for-bit: block sizes
+    count token OCCURRENCES (explode semantics), pairs are anchored on a
+    new side and ordered key_a < key_b, the predicate is the reference's
+    containment gate (len>3 substring either way) AND token-set Jaccard
+    > 0.5 (array_intersect/array_union are set ops), comp = min member key
+    (CC semantics), entity_id = sha2(type|min-nonempty-norm, 256)[:16]
+    with min-key fallback (_assign_entity_ids), and only rows whose
+    (comp, entity_id) moved are returned. ASCII/UTF-8 string comparison
+    agrees between Python and UTF8String for the BMP, so min/ordering
+    match."""
+    import hashlib
+    from collections import defaultdict
+
+    spark = prior_map.sparkSession
+    n = len(cand_pdf)
+    keys = cand_pdf["key"].tolist()
+    types = cand_pdf["type"].tolist()
+    names = cand_pdf["name"].tolist()
+    norms = [x or "" for x in cand_pdf["norm"].tolist()]
+    toks = [list(t) for t in cand_pdf["tokens"].tolist()]
+    is_new = cand_pdf["is_new"].tolist()
+    prior_comp = cand_pdf["comp"].tolist()
+
+    blocks: dict[tuple[str, str], list[int]] = defaultdict(list)
+    for i in range(n):
+        for t in toks[i]:
+            blocks[(types[i], t)].append(i)
+
+    tok_sets = [set(t) for t in toks]
+    edges: set[tuple[str, str]] = set()
+    for idxs in blocks.values():
+        if len(idxs) > max_block:
+            continue  # oversized-block purge, occurrence-counted
+        uniq = set(idxs)
+        new_in_block = [i for i in uniq if is_new[i]]
+        for i in new_in_block:
+            for j in uniq:
+                if i == j:
+                    continue
+                a, b = (i, j) if keys[i] < keys[j] else (j, i)
+                if is_new[a] and is_new[b] and a != i:
+                    continue  # new↔new pair: visit once (from the lower side)
+                pair = (keys[a], keys[b])
+                if pair in edges:
+                    continue
+                na, nb = norms[a], norms[b]
+                if not ((len(na) > 3 and na in nb) or (len(nb) > 3 and nb in na)):
+                    continue
+                union = len(tok_sets[a] | tok_sets[b])
+                if union == 0 or len(tok_sets[a] & tok_sets[b]) / union <= 0.5:
+                    continue
+                edges.add(pair)
+
+    # touched components: prior endpoints of an actual verified edge
+    by_key = {keys[i]: i for i in range(n)}
+    touched = {
+        prior_comp[by_key[k]]
+        for e in edges for k in e
+        if not is_new[by_key[k]]
+    }
+
+    # every member of a touched component (pushed isin filter: components
+    # are a point-lookup-sized set, the scan prunes on the comp column)
+    rows: dict[str, tuple] = {}   # key -> (type, name, norm, pcomp, pid)
+    for i in range(n):
+        if is_new[i]:
+            rows[keys[i]] = (types[i], names[i], norms[i], None, None)
+    if touched:
+        if len(touched) <= 1000:
+            flt = prior_map.filter(F.col("comp").isin(sorted(touched)))
+        else:
+            # a literal isin of 10^4+ values bloats the plan; broadcast a
+            # one-column frame instead (same pushdown-free semantics)
+            spark_touched = spark.createDataFrame(
+                [(c,) for c in sorted(touched)], "comp string"
+            )
+            flt = prior_map.join(F.broadcast(spark_touched), "comp")
+        mem_pdf = flt.select(
+            "key", "type", "name", "norm", "comp", "entity_id"
+        ).toPandas()
+        for r in mem_pdf.itertuples(index=False):
+            rows[r.key] = (r.type, r.name, r.norm or "", r.comp, r.entity_id)
+
+    # union-find over verified edges + virtual edges (member → prior comp)
+    parent: dict[str, str] = {k: k for k in rows}
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    for k, (_, _, _, pcomp, _) in rows.items():
+        if pcomp is not None and pcomp != k:
+            union(k, pcomp)
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for k in rows:
+        groups[find(k)].append(k)
+    out = []
+    for members in groups.values():
+        comp = min(members)
+        nonempty = [rows[k][2] for k in members if rows[k][2] != ""]
+        rep = min(nonempty) if nonempty else comp
+        ktype = rows[members[0]][0]
+        eid = "ent_" + hashlib.sha256(
+            f"{ktype}|{rep}".encode("utf-8")
+        ).hexdigest()[:16]
+        for k in members:
+            t, nm, no, pcomp, pid = rows[k]
+            if pcomp == comp and pid == eid:
+                continue  # unchanged member: no merge, no tombstone
+            out.append((k, t, nm, no, comp, eid))
+    return spark.createDataFrame(out, _MAPPING_SCHEMA)
+
+
 def canonical_mapping_incremental(
     prior_map: DataFrame, batch_keys: DataFrame, max_block: int = 1000,
     embedding_link: bool = False, embedding_threshold: float = 0.75,
+    driver_threshold: int = 50_000,
 ) -> DataFrame:
     """TOUCHED-COMPONENTS-ONLY re-canonicalization (VERDICT r2 watch-item:
     the full-ledger CC per batch is O(history) at 10^9 distinct surfaces).
@@ -169,6 +297,33 @@ def canonical_mapping_incremental(
         .join(prior_keys, "key")
     )
 
+    # --- adaptive driver fast path (the same runtime decision CC makes
+    # with its ≤2M-edge union-find): the steady-state sub-universe is a few
+    # hundred to a few thousand rows, but the distributed verify → CC →
+    # assign chain is ~20 shuffle stages whose pure scheduling latency
+    # (~15s observed on local[8] for 114 output rows) dwarfs the compute.
+    # Below the threshold, ONE Arrow collect + pure-Python twin of the
+    # exact same predicate/UF/assignment + one pushed-filter member fetch
+    # replaces the whole chain; the distributed path remains for large
+    # batches (cold starts, fresh domains) and for embedding_link, whose
+    # hashed-cosine math stays Catalyst-only. Equality of the two paths is
+    # pinned by test_incremental_mapping.py::test_driver_path_equals_distributed.
+    if not embedding_link and driver_threshold:
+        cand_pdf = (
+            new_keys.withColumn("is_new", F.lit(True))
+            .withColumn("comp", F.lit(None).cast("string"))
+            .unionByName(
+                bridged.select(*key_cols, "comp")
+                .withColumn("is_new", F.lit(False))
+            )
+            .limit(driver_threshold + 1)
+            .toPandas()
+        )
+        if len(cand_pdf) <= driver_threshold:
+            return _incremental_mapping_driver(prior_map, cand_pdf, max_block)
+        # over threshold: fall through to the distributed plan (recomputes
+        # the bridge — acceptable for the rare huge-batch case)
+
     # --- edges: verify ONLY pairs with a new side, over new ∪ bridged
     cand_universe = new_keys.withColumn("is_new", F.lit(True)).unionByName(
         bridged.select(*key_cols).withColumn("is_new", F.lit(False))
@@ -227,7 +382,7 @@ def canonical_mapping_incremental(
     return out.join(
         prior_map.select("key", "comp", "entity_id"),
         ["key", "comp", "entity_id"], "left_anti",
-    )
+    ).select("key", "type", "name", "norm", "comp", "entity_id")
 
 
 def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:

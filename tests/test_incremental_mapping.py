@@ -92,3 +92,34 @@ def test_shared_token_without_edge_pulls_nothing(spark):
     assert len(rows) == 1
     assert rows[0]["name"] == "Gamma Systems Extra"
     assert rows[0]["comp"] == "Company|Gamma Systems Extra"  # own singleton
+
+
+def test_driver_path_equals_distributed(spark):
+    """The adaptive driver fast path must be bit-equal to the distributed
+    plan: same edges (anchored, block-capped, containment+Jaccard), same
+    comp labels (min member key), same content-addressed entity ids, same
+    changed-rows-only output — across merges, chains, singletons and an
+    oversized purged block."""
+    from financial_knowledge_graphs_spark import fixtures
+
+    comps = fixtures.make_companies(30, 42)
+    surfaces = [a for c in comps[:20] for a in fixtures.aliases_for(c)]
+    prior = _prior_map(spark, surfaces).cache()
+    batch_names = (
+        [a for c in comps[20:] for a in fixtures.aliases_for(c)]
+        + ["Zeta Alpha Beta", "Meridian Global Bank Co"]  # bridge + merge
+    )
+    batch = spark.createDataFrame(
+        [("Company", n) for n in batch_names], "type string, name string"
+    )
+    kw = dict(max_block=5)  # force oversized-block purging into play
+    fast = materialize.canonical_mapping_incremental(
+        prior, name_keys(batch), **kw
+    )
+    slow = materialize.canonical_mapping_incremental(
+        prior, name_keys(batch), driver_threshold=0, **kw
+    )
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+    assert len(a) > 0
