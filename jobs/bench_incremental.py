@@ -54,8 +54,13 @@ def main() -> None:
     alias = spark.read.parquet(os.path.join(root, "alias_dict"))
     # split on a digest of doc_id (stable, order-free): ~batch docs held out
     frac_expr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_total))
-    history_docs = docs.filter(frac_expr >= batch)
+    # TWO held-out batches: the second incremental batch is the steady-state
+    # datapoint (history+1 batch of state, warm caches settled) — with the
+    # first it evidences per-batch cost FLAT in history, not just "smaller
+    # than the seed"
+    history_docs = docs.filter(frac_expr >= 2 * batch)
     batch_docs = docs.filter(frac_expr < batch)
+    batch2_docs = docs.filter((frac_expr >= batch) & (frac_expr < 2 * batch))
     n_batch = batch_docs.count()
 
     out = {"n_total": n_total, "batch_docs": n_batch, "cpus": cpus,
@@ -76,6 +81,12 @@ def main() -> None:
     out["t_incremental_batch"] = round(time.time() - t0, 3)
     out["incremental_processed"] = r2.docs_processed
     out["incremental_phases"] = r2.extra.get("phase_seconds")
+
+    t0 = time.time()
+    r2b = run_pipeline(spark, batch2_docs, alias, PipelineConfig(warehouse=wh))
+    out["t_incremental_batch2"] = round(time.time() - t0, 3)
+    out["incremental2_processed"] = r2b.docs_processed
+    out["incremental2_phases"] = r2b.extra.get("phase_seconds")
 
     fresh = tempfile.mkdtemp(prefix="fkg_incr_fresh_")
     t0 = time.time()
