@@ -118,10 +118,12 @@ def similarity_edges(keys: DataFrame, max_block: int = 1000,
 # ADDITIVE edge source gated behind its own (higher) threshold.
 # ---------------------------------------------------------------------------
 
-def char_ngram_buckets_expr(col: Column | str, n: int = 3, dim: int = 64) -> Column:
+def char_ngram_buckets_expr(col: Column | str, n: int = 3, dim: int = 256) -> Column:
     """Hashed char-n-gram bucket ids (array<int>) of a normalized name, with
     boundary markers. xxhash64 buckets are stable across sessions and
-    partitions, so derived vectors are reproducible anywhere."""
+    partitions, so derived vectors are reproducible anywhere. dim default
+    matches embedding_similarity_edges (256): 64 buckets measurably inflate
+    unrelated-name cosines via hash collisions — see that docstring."""
     c = F.col(col) if isinstance(col, str) else col
     padded = F.concat(F.lit("^"), c, F.lit("$"))
     return F.transform(

@@ -47,9 +47,14 @@ def main() -> None:
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         ".fixtures",
                         f"bench_corpus_n{n_total}_s42" + ("_zipf" if zipf else ""))
-    if not os.path.isdir(root):
+    # completion marker, not isdir: an interrupted write_corpus must not be
+    # silently reused as a truncated corpus on the next run
+    marker = os.path.join(root, "_TABLES")
+    if not os.path.exists(marker):
         os.makedirs(root, exist_ok=True)
         fixtures.write_corpus(spark, root, n_docs=n_total, seed=42, zipf=zipf)
+        with open(marker, "w") as f:
+            f.write("ok")
     docs = spark.read.parquet(os.path.join(root, "documents"))
     alias = spark.read.parquet(os.path.join(root, "alias_dict"))
     # split on a digest of doc_id (stable, order-free): ~batch docs held out

@@ -80,24 +80,22 @@ def main() -> None:
     out["new_keys"] = new_keys.count()
     out["t_new_keys"] = round(time.time() - t0, 3)
 
+    # token-BRIDGED prior surfaces (the operator's candidate collect size:
+    # every prior surface sharing a blocking token with a new one — NOT the
+    # retired round-3 design's "all members of token-mate components")
     t0 = time.time()
     prior_keys = prior_map.select(
         "key", "type", "name", "norm", "comp",
         norm_tokens_expr("name").alias("tokens"),
     )
     new_toks = new_keys.select("type", F.explode("tokens").alias("tok")).distinct()
-    cand = (
-        prior_keys.select("comp", "type", F.explode("tokens").alias("tok"))
+    bridged = (
+        prior_keys.select("key", "type", F.explode("tokens").alias("tok"))
         .join(F.broadcast(new_toks), ["type", "tok"])
-        .select("comp").distinct().persist()
+        .select("key").distinct().persist()
     )
-    out["cand_components"] = cand.count()
-    out["t_cand"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    members = prior_keys.join(cand, "comp").persist()
-    out["member_surfaces"] = members.count()
-    out["t_members"] = round(time.time() - t0, 3)
+    out["bridged_surfaces"] = bridged.count()
+    out["t_bridged"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     updates = canonical_mapping_incremental(prior_map, batch_keys).persist()
