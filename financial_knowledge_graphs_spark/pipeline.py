@@ -49,6 +49,39 @@ class PipelineConfig:
     embedding_threshold: float = 0.75
 
 
+# Bump when the linking algorithm itself changes in a way that alters which
+# pairs match (predicates, blocking, n-gram shape) — persisted warehouses
+# then force one full re-canonicalization on their next batch.
+LINK_ALGO_VERSION = 1
+
+
+def link_fingerprint(cfg: PipelineConfig) -> str:
+    """Canonical string of every knob that changes WHICH surfaces link.
+
+    The incremental canonicalization path is anchored on new surfaces and
+    never re-verifies old↔old pairs, so a config change between batches
+    (embedding linking toggled, threshold moved, block cap resized) would
+    silently leave the persisted mapping half-built under the old rules.
+    The pipeline persists this fingerprint next to the mapping table and
+    forces a one-time full re-canonicalization whenever it drifts.
+    embedding_threshold is normalized out while embedding_link is off — it
+    is inert then, and moving it must not trigger a relink.
+    """
+    import json
+
+    return json.dumps(
+        {
+            "algo": LINK_ALGO_VERSION,
+            "max_block": cfg.max_block,
+            "embedding_link": cfg.embedding_link,
+            "embedding_threshold": (
+                cfg.embedding_threshold if cfg.embedding_link else None
+            ),
+        },
+        sort_keys=True,
+    )
+
+
 @dataclass
 class PipelineResult:
     docs_in: int = 0
@@ -84,6 +117,24 @@ def run_pipeline(
     run_id = cfg.run_id or ops.latest_run_id() or ops.next_run_id()
     res = PipelineResult()
     res.extra["run_id"] = run_id
+
+    # ---- linking-config drift gate -----------------------------------------
+    # The incremental canonicalization path never re-verifies old↔old pairs,
+    # so a mapping built under different linking knobs is stale the moment
+    # the config changes: force one full re-canonicalization of the whole
+    # ledger (the first-batch path) and stamp the new fingerprint only AFTER
+    # its merges commit — a crash mid-relink replays the full path.
+    paths = graph_paths(cfg.warehouse)
+    fp = link_fingerprint(cfg)
+    fp_path = os.path.join(cfg.warehouse, "graph", "_LINK_CONFIG.json")
+    stored_fp = None
+    if os.path.exists(fp_path):
+        with open(fp_path, encoding="utf-8") as fh:
+            stored_fp = fh.read()
+    # a mapping with no fingerprint (pre-upgrade warehouse) counts as drift:
+    # we cannot know what knobs built it, and one extra full relink is safe
+    config_drift = materialize.table_exists(paths["mapping"]) and stored_fp != fp
+    res.extra["link_config_relink"] = config_drift
 
     # Accurate lineage at zero cost: Observations ride the first action over
     # this plan (the extraction count) — no extra scan jobs (round 1 set
@@ -154,8 +205,9 @@ def run_pipeline(
     # prep-stage lineage: how many raw docs the quality filter + dedup dropped
     ops.log_lineage(run_id, "prep", docs_in, docs_prepared,
                     docs_in - docs_prepared)
-    if res.docs_processed == 0:
-        # resume no-op: everything already checkpointed
+    if res.docs_processed == 0 and not config_drift:
+        # resume no-op: everything already checkpointed. With config_drift
+        # the batch proceeds even empty — the relink itself is the work.
         ops.log_lineage(run_id, cfg.stage_name, docs_in, 0, 0, status="noop")
         res.seconds = time.time() - t0
         extracted.unpersist()
@@ -177,7 +229,6 @@ def run_pipeline(
     # canonical_mapping_incremental) — and per-surface counts / rep
     # selection always derive from the ledger, so they are exact across
     # batches AND replay-safe (review finding r2-7).
-    paths = graph_paths(cfg.warehouse)
     materialize.merge_upsert(
         spark, paths["surface_mentions"],
         mentions.select(
@@ -204,9 +255,14 @@ def run_pipeline(
     _cleanup: list[DataFrame] = []
     map_cols = ["key", "type", "name", "norm", "comp", "entity_id"]
 
-    if not materialize.table_exists(paths["mapping"]):
-        # first batch — or a pre-mapping-table warehouse (upgrade path):
-        # full canonicalization over the whole ledger, then seed the table
+    if config_drift or not materialize.table_exists(paths["mapping"]):
+        # first batch, a pre-mapping-table warehouse (upgrade path), or a
+        # linking-config change (drift gate above): full canonicalization
+        # over the whole ledger, then (re)seed the table. The prior-vertices
+        # remap below also covers drift-induced id churn — merged entities
+        # retire their old ids; a SPLIT (stricter config) remaps old triples
+        # to the new id of the old entity's representative surface, the only
+        # deterministic choice once per-surface provenance is gone.
         mention_universe = materialize.read_graph_table(
             spark, paths["surface_mentions"]
         )
@@ -409,6 +465,15 @@ def run_pipeline(
         res.triples, res.dropped_endpoint_rows, n_offvocab = f_triples.result()
         res.extra["offvocab_triples"] = n_offvocab
         f_merge.result()
+    if stored_fp != fp:
+        # stamp AFTER the mapping merge: a crash before this point replays
+        # the full-relink path (idempotent); stamping first would flip the
+        # next batch onto the incremental path over a half-relinked mapping
+        os.makedirs(os.path.dirname(fp_path), exist_ok=True)
+        _tmp = fp_path + ".tmp"
+        with open(_tmp, "w", encoding="utf-8") as fh:
+            fh.write(fp)
+        os.replace(_tmp, fp_path)
     _ph["counts_and_merges"] = round(time.time() - _t, 3); _t = time.time()
 
     # ---- ops: checkpoint + lineage + metrics -------------------------------

@@ -197,3 +197,63 @@ def test_embedding_link_merges_typo_surfaces(spark):
     finally:
         shutil.rmtree(wh_off, ignore_errors=True)
         shutil.rmtree(wh_on, ignore_errors=True)
+
+
+def test_link_config_drift_forces_full_relink(spark):
+    """A linking-config change between batches forces ONE full
+    re-canonicalization (r3 review finding: the anchored incremental path
+    never re-verifies old↔old pairs, so flipping embedding_link on would
+    otherwise leave previously-split typo surfaces stale forever — even a
+    resume no-op batch must relink when the persisted fingerprint drifts)."""
+    import shutil
+    import tempfile
+
+    n_docs, n_comp = 120, 20
+    corpus = fixtures.corpus_df(spark, n_docs, 42, n_comp, typos=True).cache()
+    docs = fixtures.documents_df(corpus)
+    alias = fixtures.alias_dict_df(spark, n_comp, 42, typos=True)
+    gt_companies = (
+        fixtures.gt_extractions_df(corpus)
+        .select(F.explode("entities").alias("e"))
+        .select(F.col("e.attributes.companyName").alias("c"))
+        .distinct()
+        .count()
+    )
+
+    wh = tempfile.mkdtemp(prefix="fkg_drift_")
+    try:
+        r1 = run_pipeline(spark, docs, alias, PipelineConfig(warehouse=wh))
+        assert r1.extra["link_config_relink"] is False
+        v1 = materialize.read_graph_table(spark, graph_paths(wh)["vertices"])
+        assert v1.count() > gt_companies  # token-only linking splits typos
+
+        # same docs — every one checkpointed, so absent the drift gate this
+        # would short-circuit as a resume no-op — but a NEW linking config
+        r2 = run_pipeline(
+            spark, docs, alias,
+            PipelineConfig(warehouse=wh, embedding_link=True,
+                           embedding_threshold=0.70),
+        )
+        assert r2.extra["link_config_relink"] is True
+        assert r2.docs_processed == 0
+        v2 = materialize.read_graph_table(spark, graph_paths(wh)["vertices"])
+        assert v2.count() == gt_companies
+        # triples follow the merged ids: no endpoint references a retired id
+        live = {r["entity_id"] for r in v2.select("entity_id").collect()}
+        t2 = materialize.read_graph_table(spark, graph_paths(wh)["triples"])
+        eps = (
+            t2.select(F.col("subj").alias("e"))
+            .unionByName(t2.select(F.col("obj").alias("e")))
+            .distinct()
+        )
+        assert {r["e"] for r in eps.collect()} <= live
+
+        # unchanged config → fingerprint matches, no relink
+        r3 = run_pipeline(
+            spark, docs, alias,
+            PipelineConfig(warehouse=wh, embedding_link=True,
+                           embedding_threshold=0.70),
+        )
+        assert r3.extra["link_config_relink"] is False
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
