@@ -321,6 +321,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → canonical keeper: the dedup DECISION step. Exact
+    n-gram-Jaccard pairs (same emitter as q_ngram_jaccard) collapsed by
+    connected components; cluster_id = min member, keeper = that member,
+    singletons included. Oracle = the pairs oracle + 12 unrolled hash-min
+    supersteps (dup-chain diameter at this SF is far below 12, so both
+    sides are at the fixpoint)."""
+    from financial_knowledge_graphs_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, ngram_jaccard_pairs(docs, threshold=0.8))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.dedup import minhash_dedup_pairs
 
@@ -778,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_neardup_clusters": q_neardup_clusters,
         "q_minhash_lsh": q_minhash_lsh,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1487,6 +1504,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
     }
+    # near-dup clusters: the q_ngram_jaccard oracle as the pair source, then
+    # hash-min label propagation unrolled 12 supersteps (MATERIALIZED — each
+    # level is referenced twice; an inlining planner would go 2^12). String
+    # ids on BOTH sides so min/least order identically cross-engine.
+    nd_ctes = [
+        f"pairs AS (SELECT id_a::VARCHAR AS key_a, id_b::VARCHAR AS key_b "
+        f"FROM ({out['q_ngram_jaccard']}))",
+        "u AS (SELECT key_a AS src, key_b AS dst FROM pairs "
+        "UNION SELECT key_b, key_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT doc_id::VARCHAR AS name, doc_id::VARCHAR AS comp FROM documents)",
+    ]
+    for i in range(1, 13):
+        nd_ctes.append(
+            f"""l{i} AS MATERIALIZED (
+              SELECT l.name,
+                     least(l.comp, coalesce(nm.nbr_comp, l.comp)) AS comp
+              FROM l{i - 1} l LEFT JOIN (
+                SELECT u.dst AS name, min(p.comp) AS nbr_comp
+                FROM u JOIN l{i - 1} p ON u.src = p.name
+                GROUP BY 1) nm ON l.name = nm.name)"""
+        )
+    out["q_neardup_clusters"] = (
+        "WITH " + ",\n".join(nd_ctes)
+        + "\nSELECT name AS doc_id, comp AS cluster_id, (name = comp) AS is_keeper FROM l12"
+    )
     out.update(_kg_oracle_sql())
     # manifest-stats check: the merge layer's commit-time footer row counts
     # must equal the ground-truth table sizes (composed from the kg_triples

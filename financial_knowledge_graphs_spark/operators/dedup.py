@@ -357,3 +357,39 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters and pick one canonical
+    keeper per cluster — the step that turns any of this module's pair
+    emitters (Jaccard / MinHash-LSH / SimHash / embedding) into an actual
+    dedup decision. Near-duplication is not transitive, but dedup treats a
+    connected chain as one redundancy group (the standard web-dedup move,
+    cf. Broder's shingling clusters): cluster = connected component of the
+    pair graph, cluster_id = lexicographic min member id, keeper = that min
+    member (deterministic at any parallelism, stable across reruns).
+
+    Output: (id_col, cluster_id, is_keeper) for EVERY input doc; a doc with
+    no pair is its own singleton cluster. Downstream dedup keeps
+    ``is_keeper`` rows; ids are cast to string so the component labeling is
+    type-uniform.
+
+    Scale: pairs travel id-only; :func:`components.connected_components` is
+    scale-adaptive (driver union-find under 2M edges — dup graphs are far
+    smaller than corpora — else distributed hash-min, converging in
+    O(longest dup chain) rounds).
+    """
+    from .components import connected_components
+
+    nodes = docs.select(F.col(id_col).cast("string").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("key_a"),
+        F.col("id_b").cast("string").alias("key_b"),
+    )
+    comp = connected_components(nodes, edges, id_col="id")
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    )

@@ -187,3 +187,22 @@ def test_multimodal_resize_and_frame_sample(spark, small_corpus):
     frames = multimodal.frame_sample(vids, every_ms=1000)
     per_ref = frames.groupBy("media_ref").count().collect()
     assert all(r["count"] == 3 for r in per_ref)  # ceil(3500/1000)-1 + idx0
+
+
+def test_neardup_clusters_collapse_and_keeper(spark, docs):
+    """Pairs → clusters: the 1-2-3 near-dup chain is ONE cluster with the
+    min id as keeper; unrelated and too-short docs are singleton keepers.
+    A transitive chain (1-2, 2-3 without 1-3) must still collapse."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(docs, pairs).collect()}
+    assert set(out) == {"1", "2", "3", "4", "5"}  # every doc, string ids
+    assert [out[k]["cluster_id"] for k in ("1", "2", "3")] == ["1", "1", "1"]
+    assert out["1"]["is_keeper"] and not out["2"]["is_keeper"] and not out["3"]["is_keeper"]
+    for k in ("4", "5"):
+        assert out[k]["cluster_id"] == k and out[k]["is_keeper"]
+
+    # explicit transitive chain: drop the (1,3) edge, same clustering
+    chain = pairs.filter(~((F.col("id_a") == 1) & (F.col("id_b") == 3)))
+    out2 = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(docs, chain).collect()}
+    assert [out2[k] for k in ("1", "2", "3")] == ["1", "1", "1"]
