@@ -559,6 +559,24 @@ def _next_version(bucket_dir: str) -> str:
     return f"v_{max(nums) + 1:07d}"
 
 
+def _install_version(src_dir: str, bucket_dir: str) -> str:
+    """Move a staged bucket dir to the next free immutable version name.
+    Collision-tolerant: a concurrent writer may install the same v_N first
+    (its rename wins, ours gets ENOTEMPTY/EEXIST) — rescan and take the
+    next slot; version names only need uniqueness, the snapshot's bucket
+    map is what readers resolve."""
+    import os
+
+    for _ in range(1000):
+        nxt = _next_version(bucket_dir)
+        try:
+            os.rename(src_dir, os.path.join(bucket_dir, nxt))
+            return nxt
+        except OSError:
+            continue
+    raise RuntimeError(f"could not claim a version slot in {bucket_dir}")
+
+
 SNAPSHOT_RETENTION = 3  # snapshots kept readable (time-travel window)
 AUTO_COMPACT_FILES = 8  # max data files per bucket before a merge folds the
                         # bucket into its rewrite (inline compaction)
@@ -674,43 +692,117 @@ def table_stats(table_path: str) -> dict | None:
     }
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot after this operation read its
+    base state, so the staged bucket map would clobber the winner's buckets.
+    ``merge_upsert`` absorbs this by recomputing from the fresh snapshot and
+    retrying; offline maintenance ops (rebucket/compact/truncate) surface it
+    to the operator."""
+
+
+def _live_sid(table_path: str) -> int:
+    """Snapshot id readers currently resolve — hint file, else the legacy
+    jsonl log's last entry, else 0 (no committed snapshot)."""
+    sid = _hint_sid(table_path)
+    if sid is not None:
+        return sid
+    legacy = _legacy_jsonl_snapshots(table_path)
+    return legacy[-1]["snapshot_id"] if legacy else 0
+
+
+def _commit_lock(table_path: str, timeout: float = 60.0, stale: float = 300.0):
+    """Serialize check-and-swap across same-box writers via an O_EXCL lock
+    file. On a real deployment this role belongs to the Iceberg CATALOG's
+    atomic compare-and-swap (Hive lock / Nessie / REST catalog) — object
+    stores give no rename atomicity to lean on; one box has POSIX O_EXCL.
+    A lock older than ``stale`` seconds is presumed crashed and taken over."""
+    import contextlib
+    import os
+    import time as _time
+
+    @contextlib.contextmanager
+    def _lock():
+        md = _meta_dir(table_path)
+        os.makedirs(md, exist_ok=True)
+        lp = os.path.join(md, ".commit.lock")
+        t0 = _time.monotonic()
+        while True:
+            try:
+                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if os.path.getmtime(lp) < _time.time() - stale:
+                        os.remove(lp)  # crashed holder; next loop retakes
+                        continue
+                except OSError:
+                    pass  # holder released between stat and remove
+                if _time.monotonic() - t0 > timeout:
+                    raise TimeoutError(f"commit lock busy > {timeout}s: {lp}")
+                _time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lp)
+            except OSError:
+                pass
+
+    return _lock()
+
+
 def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
                      n_buckets: int, schema,
-                     stats: dict | None = None) -> int:
+                     stats: dict | None = None,
+                     base_sid: int | None = None) -> int:
     """THE commit: write the snapshot's metadata file (staged via tmp +
     os.replace), then atomically swap version-hint.text onto it. A crash
     before the hint swap leaves the previous snapshot live and the new
     metadata file an ignored orphan; a crash after it leaves the new
-    snapshot fully live — there is no intermediate state."""
+    snapshot fully live — there is no intermediate state.
+
+    ``base_sid`` makes the swap a COMPARE-and-swap (Iceberg's optimistic
+    concurrency): if the live snapshot moved past the base this writer
+    staged against, raise :class:`CommitConflictError` instead of
+    installing a bucket map that silently drops the winner's buckets.
+    The check-and-swap pair is serialized by the per-table commit lock."""
     import json
     import os
     import time as _time
 
     md = _meta_dir(table_path)
     os.makedirs(md, exist_ok=True)
-    legacy = _legacy_jsonl_snapshots(table_path)
-    base = max([_max_meta_sid(table_path)] + [s["snapshot_id"] for s in legacy])
-    sid = base + 1
-    meta = {
-        "snapshot_id": sid,
-        "ts": _time.time(),
-        "n_buckets": n_buckets,
-        "buckets": buckets_map,
-        "stats": stats if stats is not None else {},
-        "schema": schema.jsonValue() if schema is not None else None,
-    }
-    tmp = os.path.join(md, f".v{sid:07d}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _meta_path(table_path, sid))
-    tmp = os.path.join(md, ".version-hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(sid))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(md, "version-hint.text"))
+    with _commit_lock(table_path):
+        if base_sid is not None and _live_sid(table_path) != base_sid:
+            raise CommitConflictError(
+                f"{table_path}: live snapshot {_live_sid(table_path)} != "
+                f"staged base {base_sid}"
+            )
+        legacy = _legacy_jsonl_snapshots(table_path)
+        base = max([_max_meta_sid(table_path)] + [s["snapshot_id"] for s in legacy])
+        sid = base + 1
+        meta = {
+            "snapshot_id": sid,
+            "ts": _time.time(),
+            "n_buckets": n_buckets,
+            "buckets": buckets_map,
+            "stats": stats if stats is not None else {},
+            "schema": schema.jsonValue() if schema is not None else None,
+        }
+        tmp = os.path.join(md, f".v{sid:07d}.metadata.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _meta_path(table_path, sid))
+        tmp = os.path.join(md, ".version-hint.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(md, "version-hint.text"))
     return sid
 
 
@@ -968,6 +1060,9 @@ def truncate_table(table_path: str) -> None:
     shutil.rmtree(table_path, ignore_errors=True)
 
 
+MERGE_COMMIT_RETRIES = 3
+
+
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                  keys: list[str], n_buckets: int = DEFAULT_MERGE_BUCKETS,
                  deletes: DataFrame | None = None) -> None:
@@ -977,13 +1072,34 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     the WHEN MATCHED DELETE clause — matching existing rows are dropped
     (tombstones for re-canonicalized entities). See the section comment
     above for the crash-atomicity story.
+
+    CONCURRENT writers are safe (Iceberg's optimistic model): each attempt
+    stages against the snapshot it read, and the commit is a compare-and-
+    swap on the live snapshot id — a loser never installs a bucket map that
+    would drop the winner's buckets; it recomputes from the winner's
+    snapshot and retries (its orphaned staged dirs fall to version GC).
     """
+    for attempt in range(MERGE_COMMIT_RETRIES):
+        try:
+            return _merge_upsert_attempt(
+                spark, table_path, updates, keys, n_buckets, deletes
+            )
+        except CommitConflictError:
+            if attempt == MERGE_COMMIT_RETRIES - 1:
+                raise
+
+
+def _merge_upsert_attempt(spark: SparkSession, table_path: str,
+                          updates: DataFrame, keys: list[str],
+                          n_buckets: int = DEFAULT_MERGE_BUCKETS,
+                          deletes: DataFrame | None = None) -> None:
     import os
     import shutil
 
     from functools import reduce
 
     state = _table_state(table_path)
+    base_sid = state["snapshot_id"] if state else 0
     if state and state.get("n_buckets"):
         # the table's recorded layout wins over the caller's default —
         # after rebucket_table, merges keep hashing into the NEW layout
@@ -1019,7 +1135,11 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         return  # nothing to merge; don't churn the table (snapshot no-op)
     pre_touched = sorted(upd_buckets | del_buckets)
 
-    staging = table_path + "__staging"
+    # per-attempt staging dir: concurrent writers (and conflict retries)
+    # must not clobber each other's staged files before commit
+    import uuid
+
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
     shutil.rmtree(staging, ignore_errors=True)
 
     dirty: set[int] = set()
@@ -1131,8 +1251,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
         bname = f"bucket={b}"
         bdir = os.path.join(table_path, bname)
         os.makedirs(bdir, exist_ok=True)
-        nxt = _next_version(bdir)
-        os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
+        nxt = _install_version(os.path.join(staging, d), bdir)
         fresh = _bucket_file_stats(os.path.join(bdir, nxt))
         if b in dirty or touched is None or not new_map.get(bname):
             # full rewrite (or first write): the new dir IS the bucket
@@ -1159,10 +1278,11 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
     schema = merged.drop("__bucket").schema
     _write_schema(table_path, schema)  # legacy readers + zero-row compat
-    # COMMIT: one atomic hint swap installs the whole snapshot; then expire
-    # versions beyond the retention window (prior snapshots stay readable
-    # via time travel)
-    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats)
+    # COMMIT: one atomic compare-and-swap installs the whole snapshot (a
+    # conflict raises to the retry wrapper); then expire versions beyond
+    # the retention window (prior snapshots stay readable via time travel)
+    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
+                     base_sid=base_sid)
     for b in _bucket_dirs(table_path):
         # drop stale per-bucket CURRENT pointers (pre-metadata layout) so
         # they can't pin GC'd versions or confuse legacy readers
@@ -1193,15 +1313,21 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
     time travel across the boundary still reads the old layout's dirs
     until retention expires them. On Iceberg this is
     ``ALTER TABLE ... SET PARTITION SPEC (bucket(N, key))`` + a rewrite.
+
+    Offline maintenance op: a merge committing underneath it raises
+    CommitConflictError here (no auto-retry — rerun against the new
+    snapshot); the CAS guarantees the rewrite never erases that merge.
     """
     import os
     import shutil
+    import uuid
 
     state = _table_state(table_path)
+    base_sid = state["snapshot_id"] if state else 0
     rows = read_graph_table(spark, table_path)
     schema = rows.schema
     dedup = rows.withColumn("__bucket", _bucket_expr(keys, new_buckets))
-    staging = table_path + "__staging"
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
     shutil.rmtree(staging, ignore_errors=True)
     dedup.repartition(new_buckets, F.col("__bucket")).write.partitionBy(
         "__bucket"
@@ -1215,14 +1341,14 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         b = int(d.split("=", 1)[1])
         bdir = os.path.join(table_path, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        nxt = _next_version(bdir)
-        os.rename(os.path.join(staging, d), os.path.join(bdir, nxt))
+        nxt = _install_version(os.path.join(staging, d), bdir)
         new_map[f"bucket={b}"] = [nxt]
         new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
     _write_schema(table_path, schema)
-    _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats)
+    _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats,
+                     base_sid=base_sid)
     for b in _bucket_dirs(table_path):
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):
@@ -1237,13 +1363,19 @@ def compact_table(spark: SparkSession, table_path: str,
     ``rewrite_data_files`` analog; merges also auto-compact a bucket when
     its file count would pass AUTO_COMPACT_FILES). Row content unchanged —
     only the file layout; time travel still reads the pre-compaction
-    snapshots until retention expires them."""
+    snapshots until retention expires them.
+
+    Offline maintenance op: a merge committing underneath raises
+    CommitConflictError (no auto-retry; rerun — content is unchanged by
+    compaction, so nothing is lost by deferring)."""
     import os
     import shutil
+    import uuid
 
     state = _table_state(table_path)
     if not state:
         return
+    base_sid = state["snapshot_id"]
     todo = {
         b: _as_dirs(vs)
         for b, vs in state["buckets"].items()
@@ -1251,7 +1383,7 @@ def compact_table(spark: SparkSession, table_path: str,
     }
     if not todo:
         return
-    staging = table_path + "__staging"
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
     shutil.rmtree(staging, ignore_errors=True)
     n_buckets = state.get("n_buckets") or DEFAULT_MERGE_BUCKETS
     # each over-full bucket is read and rewritten independently (bounded:
@@ -1268,8 +1400,7 @@ def compact_table(spark: SparkSession, table_path: str,
         out = os.path.join(staging, b)
         spark.read.parquet(*bpaths).coalesce(1).write.mode("overwrite").parquet(out)
         bdir = os.path.join(table_path, b)
-        nxt = _next_version(bdir)
-        os.rename(out, os.path.join(bdir, nxt))
+        nxt = _install_version(out, bdir)
         new_map[b] = [nxt]
         new_stats[b] = _bucket_file_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
@@ -1279,5 +1410,6 @@ def compact_table(spark: SparkSession, table_path: str,
         StructType.fromJson(state["schema"]) if state.get("schema")
         else _read_schema(table_path)
     )
-    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats)
+    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
+                     base_sid=base_sid)
     _gc_versions(table_path)

@@ -340,3 +340,53 @@ def test_auto_and_explicit_compaction(spark, tmp_warehouse):
     ]
     assert max(per_bucket_files) == 1
     assert materialize.table_stats(t)["rows"] == len(rows)
+
+
+def test_commit_conflict_detected_and_offline_ops_raise(spark, tmp_warehouse):
+    """Optimistic concurrency (Iceberg CAS): a commit staged against a
+    snapshot that is no longer live must raise, not silently install a
+    bucket map that drops the winner's buckets."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "cas")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=4)
+    state = materialize._table_state(t)
+    stale = state["snapshot_id"]
+    # a competing writer lands a snapshot
+    materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=4)
+    with pytest.raises(materialize.CommitConflictError):
+        materialize._commit_snapshot(
+            t, state["buckets"], 4, None, base_sid=stale
+        )
+    # reader still sees both writers' rows
+    got = {r["k"] for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a", "b"}
+
+
+def test_concurrent_merges_no_lost_update(spark, tmp_warehouse):
+    """Two writers merging DISJOINT key sets into the same table at the same
+    time: the CAS + retry must serialize them so neither writer's buckets
+    are lost (pre-CAS, the loser's hint swap silently dropped the winner's
+    rewrites). Run a few rounds to actually hit interleavings."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = os.path.join(tmp_warehouse, "conc")
+    materialize.merge_upsert(spark, t, _mk(spark, [("seed", 0)]), ["k"], n_buckets=4)
+
+    def w(tag, n):
+        rows = [(f"{tag}{i}", i) for i in range(n)]
+        materialize.merge_upsert(spark, t, _mk(spark, rows), ["k"], n_buckets=4)
+
+    for rnd in range(3):
+        with ThreadPoolExecutor(max_workers=2) as tp:
+            fa = tp.submit(w, f"a{rnd}_", 20)
+            fb = tp.submit(w, f"b{rnd}_", 20)
+            fa.result()
+            fb.result()
+        got = {r["k"] for r in materialize.read_graph_table(spark, t).collect()}
+        expect = (
+            {"seed"}
+            | {f"a{r}_{i}" for r in range(rnd + 1) for i in range(20)}
+            | {f"b{r}_{i}" for r in range(rnd + 1) for i in range(20)}
+        )
+        assert got == expect, f"round {rnd}: lost {expect - got}"
