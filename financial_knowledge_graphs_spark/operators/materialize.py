@@ -911,6 +911,52 @@ def table_exists(table_path: str) -> bool:
     )
 
 
+def _evolve_schema(old_schema_json: dict | None, new_schema):
+    """Iceberg-style ADD-COLUMN schema evolution: the snapshot's recorded
+    schema is the old schema plus any columns the updates introduce
+    (appended, nullable — old data files simply lack them and read as
+    NULL). A same-name column with a DIFFERENT type raises — type changes
+    are not silently coerced (Iceberg allows only safe widenings; we take
+    the stricter contract)."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields: list = []
+    seen: dict = {}
+    if old_schema_json:
+        for f in StructType.fromJson(old_schema_json).fields:
+            fields.append(StructField(f.name, f.dataType, True))
+            seen[f.name] = f.dataType
+    for f in new_schema.fields:
+        if f.name in seen:
+            # simpleString comparison: nested-field NULLABILITY flags vary
+            # with how a plan was built and are not a semantic type change
+            if f.dataType.simpleString() != seen[f.name].simpleString():
+                raise ValueError(
+                    f"schema evolution: column '{f.name}' type change "
+                    f"{seen[f.name].simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not supported"
+                )
+        else:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def _read_with_schema(spark: SparkSession, paths: list[str],
+                      meta: dict | None) -> DataFrame:
+    """Read data files THROUGH the snapshot's recorded schema (Iceberg
+    resolves reads via table metadata, never file footers): files written
+    before an ADD COLUMN lack the new column and surface it as NULL;
+    without a recorded schema, fall back to footer inference (legacy
+    tables, which are single-schema by construction)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if meta and meta.get("schema"):
+        st = StructType.fromJson(meta["schema"])
+        st = StructType([StructField(f.name, f.dataType, True) for f in st.fields])
+        return spark.read.schema(st).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def _empty_df(spark: SparkSession, table_path: str, meta: dict | None):
     from pyspark.sql.types import StructType
 
@@ -957,7 +1003,7 @@ def read_graph_table(spark: SparkSession, table_path: str,
             if empty is not None:
                 return empty
             raise ValueError(f"snapshot {snapshot} is empty and carries no schema")
-        return spark.read.parquet(*paths)
+        return _read_with_schema(spark, paths, snap)
 
     state = _table_state(table_path)
     if state is None:
@@ -981,7 +1027,7 @@ def read_graph_table(spark: SparkSession, table_path: str,
         raise ValueError(
             f"{table_path}: bucket layout present but no readable versions"
         )
-    return spark.read.parquet(*paths)
+    return _read_with_schema(spark, paths, state)
 
 
 def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
@@ -1048,7 +1094,7 @@ def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
         if empty is not None:
             return empty.filter(pred)
         return read_graph_table(spark, table_path).filter(pred).limit(0)
-    return spark.read.parquet(*bpaths).filter(pred)
+    return _read_with_schema(spark, bpaths, state).filter(pred)
 
 
 def truncate_table(table_path: str) -> None:
@@ -1107,6 +1153,13 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     prev_map: dict[str, list[str]] = (
         {b: _as_dirs(v) for b, v in state["buckets"].items()} if state else {}
     )
+
+    # recorded schema = old schema + any columns this merge introduces (the
+    # append fast path can land a new column without touching old files, so
+    # the union must come from METADATA, not from the written frame).
+    # Validated against the raw UPDATES schema, before any union: a union
+    # would silently coerce a type conflict into a runtime CAST error.
+    schema = _evolve_schema((state or {}).get("schema"), updates.schema)
 
     dedup = updates.dropDuplicates(keys).withColumn("__bucket", _bucket_expr(keys, n_buckets))
     exists = state is not None or table_exists(table_path)
@@ -1208,7 +1261,11 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
                 survivors = existing.alias("t").join(
                     gone.alias("s"), cond, "left_anti"
                 ).filter(F.col("__bucket").isin(*[int(b) for b in dirty]))
-                merged = survivors.unionByName(dedup)
+                # allowMissingColumns = ADD-COLUMN schema evolution: updates
+                # may introduce columns (survivors read NULL) or omit old
+                # ones (replaced rows get NULL — MERGE UPDATE SET * from a
+                # narrower source); the evolved schema is recorded below
+                merged = survivors.unionByName(dedup, allowMissingColumns=True)
             else:
                 merged = dedup
         else:
@@ -1276,7 +1333,6 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
             new_stats.pop(f"bucket={b}", None)
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
-    schema = merged.drop("__bucket").schema
     _write_schema(table_path, schema)  # legacy readers + zero-row compat
     # COMMIT: one atomic compare-and-swap installs the whole snapshot (a
     # conflict raises to the retry wrapper); then expire versions beyond

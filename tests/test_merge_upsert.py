@@ -390,3 +390,46 @@ def test_concurrent_merges_no_lost_update(spark, tmp_warehouse):
             | {f"b{r}_{i}" for r in range(rnd + 1) for i in range(20)}
         )
         assert got == expect, f"round {rnd}: lost {expect - got}"
+
+
+def test_schema_evolution_add_column(spark, tmp_warehouse):
+    """Iceberg ADD-COLUMN semantics: an update batch introducing a new
+    column evolves the table's metadata schema; old data files are never
+    rewritten for it and read the column as NULL (including clean buckets
+    the append fast path skipped). Narrower updates NULL the omitted
+    columns (MERGE SET * from a narrower source); type changes are refused
+    before anything is staged; time travel keeps each snapshot's schema."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "evo")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=4)
+    pre = materialize.snapshots(t)[-1]["snapshot_id"]
+
+    upd = spark.createDataFrame([("a", 10, "x"), ("c", 3, "y")],
+                                "k string, v long, w string")
+    materialize.merge_upsert(spark, t, upd, ["k"], n_buckets=4)
+    got = {r["k"]: (r["v"], r["w"])
+           for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a": (10, "x"), "b": (2, None), "c": (3, "y")}
+
+    old = materialize.read_graph_table(spark, t, snapshot=pre)
+    assert "w" not in old.columns
+    assert {r["k"] for r in old.collect()} == {"a", "b"}
+
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([("b", "z")], "k string, w string"),
+        ["k"], n_buckets=4,
+    )
+    got = {r["k"]: (r["v"], r["w"])
+           for r in materialize.read_graph_table(spark, t).collect()}
+    assert got["b"] == (None, "z") and got["a"] == (10, "x")
+
+    with pytest.raises(ValueError, match="type change"):
+        materialize.merge_upsert(
+            spark, t, spark.createDataFrame([("a", "oops")], "k string, v string"),
+            ["k"], n_buckets=4,
+        )
+
+    # point lookup resolves through the evolved schema too
+    row = materialize.lookup_by_key(spark, t, ["k"], ("b",)).collect()
+    assert len(row) == 1 and row[0]["w"] == "z" and row[0]["v"] is None
