@@ -52,6 +52,7 @@ class OpsStore:
 
     # -- checkpoints --------------------------------------------------------
     def processed_docs(self, run_id: str, stage: str) -> DataFrame:
+        self._recover(self.checkpoints_path)
         if not os.path.isdir(self.checkpoints_path):
             return self.spark.createDataFrame([], schemas.CHECKPOINTS).select("doc_id")
         cp = self.spark.read.schema(schemas.CHECKPOINTS).parquet(self.checkpoints_path)
@@ -121,6 +122,68 @@ class OpsStore:
                   "lineage": schemas.LINEAGE,
                   "metrics": schemas.METRICS,
                   "runs": schemas.RUNS}[which]
+        self._recover(path)
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
+
+    # -- small-file hygiene (the ops-plane rewrite_data_files analog) --------
+    @staticmethod
+    def _n_files(path: str) -> int:
+        if not os.path.isdir(path):
+            return 0
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    @staticmethod
+    def _recover(path: str) -> None:
+        """Finish or roll back a compaction swap a crash interrupted.
+        ``__retired`` holds the pre-swap dir; ``__compact`` the rewrite. If
+        the rewrite finished (_SUCCESS), install it; else restore the
+        original. Idempotent and cheap (three existence checks)."""
+        import shutil
+
+        retired, tmp = path + "__retired", path + "__compact"
+        if os.path.isdir(path):
+            # swap completed (or never started): drop leftovers
+            shutil.rmtree(retired, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        if os.path.isdir(retired):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)
+                shutil.rmtree(retired, ignore_errors=True)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.rename(retired, path)
+
+    def compact(self, max_files: int = 64) -> dict[str, int]:
+        """Rewrite any ops table holding more than ``max_files`` parquet
+        files into one file (VERDICT r2 #8): every micro-batch appends a
+        file per table, and after thousands of batches EVERY resume's
+        anti-join re-reads thousands of file footers. The pipeline calls
+        this with the default threshold each batch (an os.listdir per
+        table — cheap), so the footer count stays bounded while recent
+        appends keep their fast path. Swap is crash-safe via _recover:
+        write aside, rename the live dir out, rename the rewrite in.
+        Returns {table: files_before} for what was compacted."""
+        import shutil
+
+        done: dict[str, int] = {}
+        for which in ("checkpoints", "lineage", "metrics", "runs"):
+            path = {"checkpoints": self.checkpoints_path,
+                    "lineage": self.lineage_path,
+                    "metrics": self.metrics_path,
+                    "runs": self.runs_path}[which]
+            self._recover(path)
+            n = self._n_files(path)
+            if n <= max_files:
+                continue
+            df = self.read(which)
+            tmp, retired = path + "__compact", path + "__retired"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(path, retired)
+            os.rename(tmp, path)
+            shutil.rmtree(retired, ignore_errors=True)
+            done[which] = n
+        return done

@@ -506,6 +506,12 @@ def run_pipeline(
             "docs_per_sec": (res.docs_processed / res.seconds) if res.seconds else 0.0,
         },
     )
+    # ops-plane small-file hygiene: every batch appends one file per ops
+    # table; past the threshold the store folds a table to one file (cheap
+    # listdir check per batch, rewrite only when due)
+    compacted = ops.compact()
+    if compacted:
+        res.extra["ops_compacted"] = compacted
     extracted.unpersist()
     mapping.unpersist()
     vertices.unpersist()

@@ -265,3 +265,39 @@ def test_flat_triples_drop_dangling_endpoints(spark):
     assert len(row["relationships"]) == 1
     assert row["relationships"][0]["source"] == "E1"
     assert row["relationships"][0]["target"] == "E2"
+
+
+def test_ops_compaction_and_crash_recovery(spark, tmp_warehouse):
+    """Ops-plane small-file hygiene: thousands of micro-batch appends fold
+    to one file past the threshold, rows byte-identical; the two-rename
+    swap recovers from a crash at either window (rewrite complete →
+    install it; incomplete → roll back the original)."""
+    import os
+    import shutil
+
+    from financial_knowledge_graphs_spark.ops import OpsStore
+
+    ops = OpsStore(spark, os.path.join(tmp_warehouse, "ops_compact"))
+    for i in range(10):
+        ops.log_metrics("run_1", "s", {"m": float(i)})
+    before = sorted(map(tuple, ops.read("metrics").collect()))
+    n0 = ops._n_files(ops.metrics_path)
+    assert n0 >= 10
+
+    done = ops.compact(max_files=5)
+    assert done.get("metrics") == n0
+    assert ops._n_files(ops.metrics_path) == 1
+    assert sorted(map(tuple, ops.read("metrics").collect())) == before
+    assert ops.compact(max_files=5) == {}  # below threshold: no-op
+
+    # crash between the swap renames, rewrite COMPLETE (_SUCCESS present)
+    shutil.copytree(ops.metrics_path, ops.metrics_path + "__compact")
+    os.rename(ops.metrics_path, ops.metrics_path + "__retired")
+    assert sorted(map(tuple, ops.read("metrics").collect())) == before
+    assert not os.path.exists(ops.metrics_path + "__retired")
+
+    # crash mid-rewrite (no _SUCCESS): original rolls back
+    os.rename(ops.metrics_path, ops.metrics_path + "__retired")
+    os.makedirs(ops.metrics_path + "__compact")
+    assert sorted(map(tuple, ops.read("metrics").collect())) == before
+    assert os.path.isdir(ops.metrics_path)
