@@ -878,6 +878,35 @@ def snapshots(table_path: str) -> list[dict]:
     return out
 
 
+ORPHAN_STAGING_TTL_S = 3600.0  # age before a crashed attempt's staging dir
+                               # is presumed dead (an ACTIVE concurrent
+                               # writer's staging is minutes old at most)
+
+
+def _gc_orphan_staging(table_path: str) -> None:
+    """Remove ``<table>__staging_<uuid>`` dirs left by crashed merge
+    attempts (the Iceberg ``remove_orphan_files`` analog). Age-gated:
+    a LIVE concurrent writer's staging dir must survive its own merge
+    window, so only dirs past ORPHAN_STAGING_TTL_S are dropped."""
+    import os
+    import shutil
+    import time as _time
+
+    parent = os.path.dirname(table_path) or "."
+    prefix = os.path.basename(table_path) + "__staging"
+    if not os.path.isdir(parent):
+        return
+    for d in os.listdir(parent):
+        if not d.startswith(prefix):
+            continue
+        p = os.path.join(parent, d)
+        try:
+            if os.path.getmtime(p) < _time.time() - ORPHAN_STAGING_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with its own cleanup
+
+
 def _gc_versions(table_path: str) -> None:
     """Drop version dirs not referenced by the last SNAPSHOT_RETENTION
     committed snapshots (bounded time-travel window — the Iceberg
@@ -886,6 +915,7 @@ def _gc_versions(table_path: str) -> None:
     import os
     import shutil
 
+    _gc_orphan_staging(table_path)
     snaps = snapshots(table_path)[-SNAPSHOT_RETENTION:]
     live: dict[str, set[str]] = {}
     for s in snaps:

@@ -433,3 +433,21 @@ def test_schema_evolution_add_column(spark, tmp_warehouse):
     # point lookup resolves through the evolved schema too
     row = materialize.lookup_by_key(spark, t, ["k"], ("b",)).collect()
     assert len(row) == 1 and row[0]["w"] == "z" and row[0]["v"] is None
+
+
+def test_orphan_staging_gc_age_gated(spark, tmp_warehouse):
+    """A crashed attempt's uuid staging dir is removed once past the TTL;
+    a fresh one (a possibly-live concurrent writer) survives."""
+    import time
+
+    t = os.path.join(tmp_warehouse, "orph")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=4)
+    old = t + "__staging_deadbeef0001"
+    fresh = t + "__staging_deadbeef0002"
+    os.makedirs(old)
+    os.makedirs(fresh)
+    past = time.time() - materialize.ORPHAN_STAGING_TTL_S - 10
+    os.utime(old, (past, past))
+    materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=4)
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
