@@ -230,6 +230,15 @@ def weakly_connected_components(edges: DataFrame, max_iters: int = 30) -> DataFr
         labels = nxt
         if changed == 0:
             break
+    else:
+        # the cap is a lineage-safety rail, not a semantic knob: returning
+        # here would silently hand back a partially-propagated labeling
+        # (two fragments of one long-chain component with different ids)
+        raise RuntimeError(
+            f"weakly_connected_components did not converge within "
+            f"{max_iters} supersteps — graph diameter exceeds the cap; "
+            f"raise max_iters"
+        )
     return labels.select("name", F.col("comp").alias("component"))
 
 

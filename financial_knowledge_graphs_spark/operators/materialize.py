@@ -710,13 +710,18 @@ def _live_sid(table_path: str) -> int:
     return legacy[-1]["snapshot_id"] if legacy else 0
 
 
-def _commit_lock(table_path: str, timeout: float = 60.0, stale: float = 300.0):
-    """Serialize check-and-swap across same-box writers via an O_EXCL lock
-    file. On a real deployment this role belongs to the Iceberg CATALOG's
-    atomic compare-and-swap (Hive lock / Nessie / REST catalog) — object
-    stores give no rename atomicity to lean on; one box has POSIX O_EXCL.
-    A lock older than ``stale`` seconds is presumed crashed and taken over."""
+def _commit_lock(table_path: str, timeout: float = 60.0):
+    """Serialize check-and-swap across same-box writers via a kernel-managed
+    ``flock`` on a persistent lock file. On a real deployment this role
+    belongs to the Iceberg CATALOG's atomic compare-and-swap (Hive lock /
+    Nessie / REST catalog); one box has POSIX advisory locks. flock (not a
+    stat-mtime staleness heuristic, which is a check-then-remove TOCTOU:
+    two waiters could both judge a lock stale and the second remove would
+    delete the first claimer's FRESH lock, admitting two writers) is owned
+    by the kernel — a crashed holder's lock is released with its process,
+    so there is no takeover race and no stale window to tune."""
     import contextlib
+    import fcntl
     import os
     import time as _time
 
@@ -725,30 +730,26 @@ def _commit_lock(table_path: str, timeout: float = 60.0, stale: float = 300.0):
         md = _meta_dir(table_path)
         os.makedirs(md, exist_ok=True)
         lp = os.path.join(md, ".commit.lock")
+        fd = os.open(lp, os.O_CREAT | os.O_WRONLY)
         t0 = _time.monotonic()
-        while True:
-            try:
-                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if os.path.getmtime(lp) < _time.time() - stale:
-                        os.remove(lp)  # crashed holder; next loop retakes
-                        continue
-                except OSError:
-                    pass  # holder released between stat and remove
-                if _time.monotonic() - t0 > timeout:
-                    raise TimeoutError(f"commit lock busy > {timeout}s: {lp}")
-                _time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if _time.monotonic() - t0 > timeout:
+                        raise TimeoutError(
+                            f"commit lock busy > {timeout}s: {lp}"
+                        )
+                    _time.sleep(0.05)
             yield
         finally:
             try:
-                os.remove(lp)
+                fcntl.flock(fd, fcntl.LOCK_UN)
             except OSError:
                 pass
+            os.close(fd)
 
     return _lock()
 
@@ -862,16 +863,39 @@ def _read_schema(table_path: str):
         return StructType.fromJson(json.load(f))
 
 
+def _meta_sids_on_disk(table_path: str) -> list[int]:
+    """Sorted snapshot ids with a metadata file present. A directory listing,
+    not range(1, hint): with metadata expiry the listing stays O(retention)
+    while the hint grows without bound — scanning up to the hint would make
+    every GC pay O(total-commits) driver file I/O."""
+    import os
+    import re
+
+    d = _meta_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    sids = []
+    for f in os.listdir(d):
+        m = re.fullmatch(r"v(\d+)\.metadata\.json", f)
+        if m:
+            sids.append(int(m.group(1)))
+    return sorted(sids)
+
+
 def snapshots(table_path: str) -> list[dict]:
-    """All COMMITTED snapshots, oldest first (Iceberg ``.snapshots``
-    analog). Metadata files newer than the hint are uncommitted orphans
-    from a crashed commit and are excluded. Legacy _snapshots.jsonl entries
-    (pre-metadata tables) are listed when no metadata commits exist."""
+    """All COMMITTED snapshots still on disk, oldest first (Iceberg
+    ``.snapshots`` analog — expired snapshots' metadata is GC'd, so the
+    list covers the retention window). Metadata files newer than the hint
+    are uncommitted orphans from a crashed commit and are excluded. Legacy
+    _snapshots.jsonl entries (pre-metadata tables) are listed when no
+    metadata commits exist."""
     hint = _hint_sid(table_path)
     if hint is None:
         return _legacy_jsonl_snapshots(table_path)
     out = _legacy_jsonl_snapshots(table_path)
-    for sid in range(1, hint + 1):
+    for sid in _meta_sids_on_disk(table_path):
+        if sid > hint:
+            continue
         meta = _load_meta(table_path, sid)
         if meta is not None:
             out.append(meta)
@@ -908,25 +932,63 @@ def _gc_orphan_staging(table_path: str) -> None:
 
 
 def _gc_versions(table_path: str) -> None:
-    """Drop version dirs not referenced by the last SNAPSHOT_RETENTION
-    committed snapshots (bounded time-travel window — the Iceberg
-    ``expire_snapshots`` analog). Crash-orphaned staged dirs from a commit
-    that never swapped the hint fall out here too."""
+    """Expire snapshots beyond the last SNAPSHOT_RETENTION (the Iceberg
+    ``expire_snapshots`` analog): drop version dirs referenced ONLY by
+    expired snapshots, then the expired snapshots' metadata files (so the
+    _metadata dir stays O(retention), not O(total-commits)).
+
+    A version dir referenced by NO on-disk snapshot is ambiguous — it may
+    be a crash orphan (commit never swapped the hint), but it may equally
+    be a CONCURRENT writer's freshly-installed dir whose commit hasn't
+    landed yet; deleting it would make that writer's CAS succeed against a
+    snapshot whose data files are gone (silent data loss). Those dirs are
+    age-gated like orphan staging: only dropped past ORPHAN_STAGING_TTL_S,
+    which an active writer's install→commit window never approaches."""
     import os
     import shutil
+    import time as _time
 
     _gc_orphan_staging(table_path)
-    snaps = snapshots(table_path)[-SNAPSHOT_RETENTION:]
+    all_snaps = snapshots(table_path)
+    retained = all_snaps[-SNAPSHOT_RETENTION:]
+    expired = all_snaps[:-SNAPSHOT_RETENTION] if SNAPSHOT_RETENTION else all_snaps
     live: dict[str, set[str]] = {}
-    for s in snaps:
+    for s in retained:
         for b, vs in s["buckets"].items():
             live.setdefault(b, set()).update(_as_dirs(vs))
+    expired_ref: dict[str, set[str]] = {}
+    for s in expired:
+        for b, vs in s["buckets"].items():
+            expired_ref.setdefault(b, set()).update(_as_dirs(vs))
+    cutoff = _time.time() - ORPHAN_STAGING_TTL_S
     for b in _bucket_dirs(table_path):
         bdir = os.path.join(table_path, b)
         keep = live.get(b, set()) | {_current_version(bdir) or ""}
+        was_expired = expired_ref.get(b, set())
         for d in os.listdir(bdir):
-            if d.startswith("v_") and d not in keep:
-                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+            if not d.startswith("v_") or d in keep:
+                continue
+            p = os.path.join(bdir, d)
+            try:
+                if d in was_expired or os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # raced with another GC
+    # expired snapshots' metadata files go last: their dirs were reclaimed
+    # above, and keeping the files would grow the _metadata listing (and
+    # every snapshots() call) linearly with commit history. Uncommitted
+    # orphan metadata (sid > hint, crashed commit) is age-gated too.
+    hint = _hint_sid(table_path)
+    retained_sids = {s["snapshot_id"] for s in retained}
+    for sid in _meta_sids_on_disk(table_path):
+        if sid in retained_sids:
+            continue
+        mp = _meta_path(table_path, sid)
+        try:
+            if (hint is not None and sid <= hint) or os.path.getmtime(mp) < cutoff:
+                os.remove(mp)
+        except OSError:
+            pass
 
 
 def table_exists(table_path: str) -> bool:
@@ -1237,8 +1299,13 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
                     p = os.path.join(table_path, f"bucket={b}", v)
                     if os.path.isdir(p):
                         paths.append(p)
+            # THROUGH the snapshot's recorded schema, not footer inference:
+            # after an add-column clean append a bucket's version dirs have
+            # MIXED schemas, and footer inference could pick a pre-evolution
+            # file and silently drop the new column from every survivor row
             existing = (
-                spark.read.parquet(*paths).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+                _read_with_schema(spark, paths, state)
+                .withColumn("__bucket", _bucket_expr(keys, n_buckets))
                 if paths else None
             )
         elif state is None and any(
@@ -1471,7 +1538,11 @@ def compact_table(spark: SparkSession, table_path: str,
         return
     staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
     shutil.rmtree(staging, ignore_errors=True)
-    n_buckets = state.get("n_buckets") or DEFAULT_MERGE_BUCKETS
+    # a legacy (pre-metadata) table has NO recorded bucket count — keep it
+    # unrecorded (None) rather than stamping DEFAULT_MERGE_BUCKETS: a wrong
+    # recorded count would override callers' n_buckets on later merges and
+    # hash keys into the wrong bucket space (missed matches → duplicates)
+    n_buckets = state.get("n_buckets")
     # each over-full bucket is read and rewritten independently (bounded:
     # only buckets past the threshold; rows already belong to their bucket)
     new_map = dict({b: _as_dirs(vs) for b, vs in state["buckets"].items()})
@@ -1484,7 +1555,12 @@ def compact_table(spark: SparkSession, table_path: str,
         if not bpaths:
             continue
         out = os.path.join(staging, b)
-        spark.read.parquet(*bpaths).coalesce(1).write.mode("overwrite").parquet(out)
+        # schema-resolved read: a bucket's files may straddle an add-column
+        # evolution; footer inference could drop the evolved column for the
+        # whole compacted bucket (permanent loss from a maintenance op)
+        _read_with_schema(spark, bpaths, state).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
         bdir = os.path.join(table_path, b)
         nxt = _install_version(out, bdir)
         new_map[b] = [nxt]

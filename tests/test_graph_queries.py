@@ -127,3 +127,17 @@ def test_wcc_chain_beyond_one_step(spark):
     c = {r["name"]: r["component"] for r in
          graph.weakly_connected_components(e).collect()}
     assert set(c.values()) == {"a"}
+
+
+def test_wcc_raises_when_cap_too_small(spark):
+    """Review r3: exhausting max_iters before fixpoint must raise, not
+    silently return a partially-propagated labeling (two fragments of one
+    long chain under different ids)."""
+    import pytest
+
+    e = _edges(spark, [(f"n{i + 1:02d}", f"n{i:02d}") for i in range(12)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.weakly_connected_components(e, max_iters=5)
+    c = {r["name"]: r["component"] for r in
+         graph.weakly_connected_components(e, max_iters=30).collect()}
+    assert set(c.values()) == {"n00"}

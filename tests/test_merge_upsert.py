@@ -451,3 +451,105 @@ def test_orphan_staging_gc_age_gated(spark, tmp_warehouse):
     materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=4)
     assert not os.path.exists(old)
     assert os.path.exists(fresh)
+
+
+def test_mixed_schema_bucket_merge_keeps_evolved_column(spark, tmp_warehouse):
+    """Review r3: a bucket whose version dirs straddle an add-column clean
+    append has MIXED file schemas; a later dirty rewrite must read them
+    through the snapshot's recorded schema, not footer inference — else
+    the evolved column silently nulls out of every survivor row."""
+    t = os.path.join(tmp_warehouse, "mixed")
+    # n_buckets=1: everything lands in one bucket by construction
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=1)
+    # clean append introducing column w: old v_ dir lacks it, new dir has it
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([("b", 2, "x")], "k string, v long, w string"),
+        ["k"], n_buckets=1,
+    )
+    assert len(materialize.snapshots(t)[-1]["buckets"]["bucket=0"]) == 2
+    # dirty rewrite of the mixed bucket (touches existing key "a")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 9)]), ["k"], n_buckets=1)
+    got = {r["k"]: (r["v"], r["w"])
+           for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a": (9, None), "b": (2, "x")}
+
+
+def test_compact_mixed_schema_bucket_keeps_evolved_column(spark, tmp_warehouse):
+    """compact_table over a mixed-schema bucket must also resolve through
+    the recorded schema — 'row content unchanged' includes evolved columns."""
+    t = os.path.join(tmp_warehouse, "cmixed")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=1)
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([("b", 2, "x")], "k string, v long, w string"),
+        ["k"], n_buckets=1,
+    )
+    materialize.compact_table(spark, t, max_files=1)
+    assert len(materialize.snapshots(t)[-1]["buckets"]["bucket=0"]) == 1
+    got = {r["k"]: (r["v"], r["w"])
+           for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}
+
+
+def test_gc_spares_fresh_unreferenced_versions(spark, tmp_warehouse):
+    """Review r3: a version dir referenced by NO snapshot may belong to a
+    concurrent writer mid-install (committed next instant) — GC must
+    age-gate it, not delete on sight; once old it is a crash orphan and
+    falls out."""
+    import time
+
+    t = os.path.join(tmp_warehouse, "gcfresh")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=2)
+    b0 = os.path.join(t, "bucket=0")
+    os.makedirs(b0, exist_ok=True)
+    fresh = os.path.join(b0, "v_9000001")
+    os.makedirs(fresh)
+    materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=2)
+    assert os.path.exists(fresh), "fresh unreferenced version dir was GC'd"
+    past = time.time() - materialize.ORPHAN_STAGING_TTL_S - 10
+    os.utime(fresh, (past, past))
+    materialize.merge_upsert(spark, t, _mk(spark, [("c", 3)]), ["k"], n_buckets=2)
+    assert not os.path.exists(fresh), "aged crash-orphan version dir survived GC"
+
+
+def test_metadata_files_expired_with_snapshots(spark, tmp_warehouse):
+    """Expired snapshots' metadata files are GC'd so the _metadata listing
+    (and every snapshots()/GC call) stays O(retention), not O(commits)."""
+    t = os.path.join(tmp_warehouse, "mexp")
+    n = materialize.SNAPSHOT_RETENTION + 4
+    for i in range(n):
+        materialize.merge_upsert(spark, t, _mk(spark, [(f"k{i}", i)]), ["k"], n_buckets=2)
+    sids = materialize._meta_sids_on_disk(t)
+    assert len(sids) == materialize.SNAPSHOT_RETENTION
+    assert sids == list(range(n - materialize.SNAPSHOT_RETENTION + 1, n + 1))
+    # all rows still present, retained snapshots still time-travelable
+    assert materialize.read_graph_table(spark, t).count() == n
+    assert materialize.read_graph_table(spark, t, snapshot=sids[0]).count() > 0
+
+
+def test_compact_legacy_table_does_not_stamp_bucket_count(spark, tmp_warehouse):
+    """Review r3: compacting a pre-metadata table whose real bucket count is
+    unrecorded must NOT stamp DEFAULT_MERGE_BUCKETS into the snapshot — a
+    wrong recorded count would override callers' n_buckets on later merges
+    and hash keys into the wrong bucket (missed match → duplicate row)."""
+    import shutil
+
+    t = os.path.join(tmp_warehouse, "legacy")
+    rows = [(f"k{i}", i) for i in range(40)]
+    materialize.merge_upsert(spark, t, _mk(spark, rows), ["k"], n_buckets=8)
+    # strip to the legacy layout: per-bucket CURRENT pointers, no metadata
+    for b in sorted(os.listdir(t)):
+        bdir = os.path.join(t, b)
+        if not b.startswith("bucket="):
+            continue
+        vs = sorted(x for x in os.listdir(bdir) if x.startswith("v_"))
+        with open(os.path.join(bdir, "CURRENT"), "w") as f:
+            f.write(vs[-1])
+    shutil.rmtree(os.path.join(t, "_metadata"))
+
+    materialize.compact_table(spark, t, max_files=0)
+    assert materialize.snapshots(t)[-1]["n_buckets"] is None
+    # later merge keeps the caller's (true) bucket count: update matches
+    materialize.merge_upsert(spark, t, _mk(spark, [("k0", 999)]), ["k"], n_buckets=8)
+    got = materialize.read_graph_table(spark, t)
+    assert got.count() == 40
+    assert got.filter(F.col("k") == "k0").collect()[0]["v"] == 999
