@@ -673,6 +673,111 @@ def _bucket_file_stats(version_dir: str) -> dict:
     return {"rows": rows, "bytes": nbytes, "files": files}
 
 
+def _dir_col_stats(version_dir: str) -> dict:
+    """Per-column [min, max] over a version dir's parquet files, from the
+    footer row-group statistics (the manifest column bounds Iceberg keeps
+    per data file) — zero extra Spark jobs. Only JSON-safe atomic types
+    (int/float/str/bool) are recorded; a column any of whose chunks lacks
+    stats is omitted (absent bounds == never prune, always safe)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return {}
+    ok_types = (int, float, str, bool)
+    bounds: dict[str, list] = {}
+    dead: set[str] = set()
+    for f in os.listdir(version_dir):
+        fp = os.path.join(version_dir, f)
+        if not (f.endswith(".parquet") and os.path.isfile(fp)):
+            continue
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dead:
+                    continue  # nested fields: skip (top-level atomics only)
+                st = col.statistics
+                if (
+                    st is None or not st.has_min_max
+                    or not isinstance(st.min, ok_types)
+                    or not isinstance(st.max, ok_types)
+                    or isinstance(st.min, bool) != isinstance(st.max, bool)
+                ):
+                    dead.add(name)
+                    bounds.pop(name, None)
+                    continue
+                cur = bounds.get(name)
+                if cur is None:
+                    bounds[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+    return bounds
+
+
+def read_graph_table_pruned(spark: SparkSession, table_path: str,
+                            ranges: dict) -> DataFrame:
+    """Range scan with FILE SKIPPING on the snapshot's per-dir column
+    bounds (the Iceberg manifest-pruning analog, orthogonal to bucket
+    pruning — buckets prune point lookups by key hash, bounds prune RANGE
+    predicates on any recorded column): a version dir whose recorded
+    [min, max] cannot intersect the requested range is never opened.
+
+    ``ranges`` maps column → (lo, hi); either bound may be None (open).
+    The exact predicate is always applied on top, so dirs without recorded
+    bounds (legacy snapshots, non-atomic columns) degrade to read+filter,
+    never to wrong results."""
+    import os
+
+    from functools import reduce
+
+    def _pred(df):
+        cs = []
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                cs.append(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cs.append(F.col(c) <= F.lit(hi))
+        return df.filter(reduce(lambda a, b: a & b, cs)) if cs else df
+
+    state = _table_state(table_path)
+    if not state or not state.get("dir_stats"):
+        return _pred(read_graph_table(spark, table_path))
+    dstats = state["dir_stats"]
+    paths = []
+    for b, vs in state["buckets"].items():
+        for v in _as_dirs(vs):
+            p = os.path.join(table_path, b, v)
+            if not os.path.isdir(p):
+                continue
+            st = dstats.get(f"{b}/{v}")
+            skip = False
+            if st:
+                for c, (lo, hi) in ranges.items():
+                    if c not in st:
+                        continue
+                    cmin, cmax = st[c]
+                    if (lo is not None and cmax < lo) or (
+                        hi is not None and cmin > hi
+                    ):
+                        skip = True
+                        break
+            if not skip:
+                paths.append(p)
+    if not paths:
+        empty = _empty_df(spark, table_path, state)
+        if empty is not None:
+            return _pred(empty)
+        # no schema recorded and everything pruned: exact filter over the
+        # full read (still correct, just unpruned — legacy-only corner)
+        return _pred(read_graph_table(spark, table_path))
+    return _pred(_read_with_schema(spark, paths, state))
+
+
 def table_stats(table_path: str) -> dict | None:
     """Live-snapshot stats: total/per-bucket rows, bytes and file counts
     (from commit-time footers — no scan). The ops answer to 'is this table
@@ -757,7 +862,8 @@ def _commit_lock(table_path: str, timeout: float = 60.0):
 def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
                      n_buckets: int, schema,
                      stats: dict | None = None,
-                     base_sid: int | None = None) -> int:
+                     base_sid: int | None = None,
+                     dir_stats: dict | None = None) -> int:
     """THE commit: write the snapshot's metadata file (staged via tmp +
     os.replace), then atomically swap version-hint.text onto it. A crash
     before the hint swap leaves the previous snapshot live and the new
@@ -790,6 +896,7 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
             "n_buckets": n_buckets,
             "buckets": buckets_map,
             "stats": stats if stats is not None else {},
+            "dir_stats": dir_stats if dir_stats is not None else {},
             "schema": schema.jsonValue() if schema is not None else None,
         }
         tmp = os.path.join(md, f".v{sid:07d}.metadata.json.tmp")
@@ -1122,6 +1229,115 @@ def read_graph_table(spark: SparkSession, table_path: str,
     return _read_with_schema(spark, paths, state)
 
 
+def read_table_changes(spark: SparkSession, table_path: str,
+                       from_snapshot: int,
+                       to_snapshot: int | None = None) -> DataFrame:
+    """Incremental consumption (the Iceberg incremental-scan / CDC analog):
+    the row-level delta between two committed snapshots, as the table's
+    columns plus ``_change_type`` ('insert' | 'delete'). A downstream
+    training-data pipeline tails the graph/documents tables with this
+    instead of re-reading 100 TB per batch.
+
+    Scale shape: a bucket whose version-dir set only GREW between the two
+    snapshots (the append fast path's signature) contributes its NEW dirs
+    as inserts at FILE granularity — no diffing, no read of the old data.
+    Only buckets that were rewritten (merge-updated, deleted from, or
+    compacted) pay a row-level multiset diff (exceptAll both ways), and
+    only over that bucket's files. An updated row surfaces as
+    delete(old image) + insert(new image).
+
+    ``from_snapshot=0`` means "before the first commit" (everything is an
+    insert). Both snapshots must still be within the retention window —
+    expired metadata or GC'd dirs raise ValueError, same as time travel.
+    Rows are read through the TO snapshot's schema, so a column added
+    between the two snapshots reads as NULL on the old images."""
+    import os
+
+    def _snap(sid: int) -> dict:
+        if sid == 0:
+            return {"snapshot_id": 0, "buckets": {}, "schema": None}
+        meta = _load_meta(table_path, sid)
+        if meta is None:
+            meta = next(
+                (s for s in _legacy_jsonl_snapshots(table_path)
+                 if s["snapshot_id"] == sid), None
+            )
+        if meta is None:
+            raise ValueError(
+                f"no snapshot {sid} recorded for {table_path} "
+                f"(expired past retention={SNAPSHOT_RETENTION}, or never "
+                f"committed)"
+            )
+        return meta
+
+    if to_snapshot is None:
+        to_snapshot = _live_sid(table_path)
+    a = _snap(from_snapshot)
+    b = _snap(to_snapshot)
+
+    def _paths(sid: int, bucket: str, dirs) -> list[str]:
+        out = []
+        for v in sorted(dirs):
+            p = os.path.join(table_path, bucket, v)
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"snapshot {sid} expired (bucket {bucket} version {v} "
+                    f"GC'd; retention={SNAPSHOT_RETENTION})"
+                )
+            out.append(p)
+        return out
+
+    append_paths: list[str] = []
+    diff_a: list[str] = []
+    diff_b: list[str] = []
+    for bk in set(a["buckets"]) | set(b["buckets"]):
+        da = set(_as_dirs(a["buckets"].get(bk, [])))
+        db = set(_as_dirs(b["buckets"].get(bk, [])))
+        if da == db:
+            continue  # untouched bucket: zero I/O
+        if da <= db:
+            append_paths += _paths(to_snapshot, bk, db - da)
+        else:
+            diff_a += _paths(from_snapshot, bk, da)
+            diff_b += _paths(to_snapshot, bk, db)
+
+    def _empty():
+        e = _empty_df(spark, table_path, b if b.get("schema") else None)
+        return e
+
+    parts = []
+    if append_paths:
+        parts.append(
+            _read_with_schema(spark, append_paths, b)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if diff_a or diff_b:
+        rows_a = _read_with_schema(spark, diff_a, b) if diff_a else None
+        rows_b = _read_with_schema(spark, diff_b, b) if diff_b else None
+        if rows_a is None:
+            rows_a = spark.createDataFrame([], rows_b.schema)
+        if rows_b is None:
+            rows_b = spark.createDataFrame([], rows_a.schema)
+        parts.append(
+            rows_b.exceptAll(rows_a).withColumn("_change_type", F.lit("insert"))
+        )
+        parts.append(
+            rows_a.exceptAll(rows_b).withColumn("_change_type", F.lit("delete"))
+        )
+    if not parts:
+        e = _empty()
+        if e is None:
+            raise ValueError(
+                f"{table_path}: no changes between snapshots and no recorded "
+                f"schema to type an empty result"
+            )
+        return e.withColumn("_change_type", F.lit("insert")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
                   values: tuple, n_buckets: int = DEFAULT_MERGE_BUCKETS) -> DataFrame:
     """Point lookup with BUCKET PRUNING: hash the key values to their
@@ -1397,6 +1613,7 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     new_stats = {
         k: v for k, v in ((state or {}).get("stats") or {}).items() if k in new_map
     }
+    new_dir_stats = dict((state or {}).get("dir_stats") or {})
     installed = set()
     for d in staged:
         b = int(d.split("=", 1)[1])
@@ -1407,6 +1624,7 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
         os.makedirs(bdir, exist_ok=True)
         nxt = _install_version(os.path.join(staging, d), bdir)
         fresh = _bucket_file_stats(os.path.join(bdir, nxt))
+        new_dir_stats[f"{bname}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
         if b in dirty or touched is None or not new_map.get(bname):
             # full rewrite (or first write): the new dir IS the bucket
             new_map[bname] = [nxt]
@@ -1428,6 +1646,10 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
         if b not in installed:
             new_map.pop(f"bucket={b}", None)
             new_stats.pop(f"bucket={b}", None)
+    # per-dir column bounds follow the bucket map: entries for dirs no
+    # longer referenced are dropped with them
+    live_dirs = {f"{b}/{v}" for b, vs in new_map.items() for v in _as_dirs(vs)}
+    new_dir_stats = {k: v for k, v in new_dir_stats.items() if k in live_dirs}
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
     _write_schema(table_path, schema)  # legacy readers + zero-row compat
@@ -1435,7 +1657,7 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     # conflict raises to the retry wrapper); then expire versions beyond
     # the retention window (prior snapshots stay readable via time travel)
     _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
-                     base_sid=base_sid)
+                     base_sid=base_sid, dir_stats=new_dir_stats)
     for b in _bucket_dirs(table_path):
         # drop stale per-bucket CURRENT pointers (pre-metadata layout) so
         # they can't pin GC'd versions or confuse legacy readers
@@ -1488,6 +1710,7 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
 
     new_map: dict[str, str] = {}
     new_stats: dict[str, dict] = {}
+    new_dir_stats: dict[str, dict] = {}
     for d in os.listdir(staging):
         if not (d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))):
             continue
@@ -1497,11 +1720,12 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         nxt = _install_version(os.path.join(staging, d), bdir)
         new_map[f"bucket={b}"] = [nxt]
         new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
+        new_dir_stats[f"bucket={b}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
     _write_schema(table_path, schema)
     _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats,
-                     base_sid=base_sid)
+                     base_sid=base_sid, dir_stats=new_dir_stats)
     for b in _bucket_dirs(table_path):
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):
@@ -1547,6 +1771,7 @@ def compact_table(spark: SparkSession, table_path: str,
     # only buckets past the threshold; rows already belong to their bucket)
     new_map = dict({b: _as_dirs(vs) for b, vs in state["buckets"].items()})
     new_stats = dict(state.get("stats") or {})
+    new_dir_stats = dict(state.get("dir_stats") or {})
     for b, vs in todo.items():
         bpaths = [
             os.path.join(table_path, b, v) for v in vs
@@ -1565,7 +1790,10 @@ def compact_table(spark: SparkSession, table_path: str,
         nxt = _install_version(out, bdir)
         new_map[b] = [nxt]
         new_stats[b] = _bucket_file_stats(os.path.join(bdir, nxt))
+        new_dir_stats[f"{b}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
     shutil.rmtree(staging, ignore_errors=True)
+    live_dirs = {f"{b}/{v}" for b, vs in new_map.items() for v in _as_dirs(vs)}
+    new_dir_stats = {k: v for k, v in new_dir_stats.items() if k in live_dirs}
     from pyspark.sql.types import StructType
 
     schema = (
@@ -1573,5 +1801,5 @@ def compact_table(spark: SparkSession, table_path: str,
         else _read_schema(table_path)
     )
     _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
-                     base_sid=base_sid)
+                     base_sid=base_sid, dir_stats=new_dir_stats)
     _gc_versions(table_path)
