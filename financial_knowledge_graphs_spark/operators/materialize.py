@@ -1405,6 +1405,49 @@ def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
     return _read_with_schema(spark, bpaths, state).filter(pred)
 
 
+def rollback_table(table_path: str, snapshot_id: int) -> int:
+    """Roll the live table back to a retained snapshot (Iceberg
+    ``rollback_to_snapshot``): commits a NEW snapshot whose bucket map,
+    schema and stats copy the target's — history keeps moving forward
+    (snapshot ids never reuse), the bad commits stay readable for
+    forensics until retention expires them, and readers flip atomically
+    via the same version-hint swap as any commit. Returns the new
+    snapshot id.
+
+    The target must still be within the retention window (its metadata
+    file and version dirs intact) — rolling back to an expired snapshot
+    raises ValueError, same as time travel. Concurrent writers are
+    handled by the usual compare-and-swap: a merge landing after the
+    rollback read its state raises CommitConflictError here (offline
+    maintenance op — rerun after inspecting the winner)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(table_path, snapshot_id)
+    if meta is None:
+        raise ValueError(
+            f"no snapshot {snapshot_id} recorded for {table_path} "
+            f"(expired past retention={SNAPSHOT_RETENTION}, or never "
+            f"committed)"
+        )
+    for b, vs in meta["buckets"].items():
+        for v in _as_dirs(vs):
+            if not os.path.isdir(os.path.join(table_path, b, v)):
+                raise ValueError(
+                    f"snapshot {snapshot_id} expired (bucket {b} version "
+                    f"{v} GC'd; retention={SNAPSHOT_RETENTION})"
+                )
+    schema = StructType.fromJson(meta["schema"]) if meta.get("schema") else None
+    if schema is not None:
+        _write_schema(table_path, schema)
+    return _commit_snapshot(
+        table_path, meta["buckets"], meta.get("n_buckets"), schema,
+        meta.get("stats") or {}, base_sid=_live_sid(table_path),
+        dir_stats=meta.get("dir_stats") or {},
+    )
+
+
 def truncate_table(table_path: str) -> None:
     """Drop all rows (SURVEY §2.6 row 44) — the reference's detach-delete
     teardown (reference src/db/neo4j_handler.py:356-360). Removing the

@@ -647,3 +647,37 @@ def test_pruned_scan_skips_files_by_column_bounds(spark, tmp_warehouse):
     expect = {(r["k"], r["v"]) for r in
               full.filter((F.col("v") >= 40) & (F.col("v") <= 1009)).collect()}
     assert {(r["k"], r["v"]) for r in mid.collect()} == expect
+
+
+def test_rollback_to_snapshot(spark, tmp_warehouse):
+    """Rollback commits a NEW snapshot copying a retained one: the live
+    read flips back, history keeps moving forward (ids never reuse), the
+    rolled-back-over commit stays time-travelable, and the changelog
+    between the bad commit and the rollback is its exact inverse."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "rb")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=2)
+    materialize.merge_upsert(spark, t, _mk(spark, [("c", 3)]), ["k"], n_buckets=2)
+    s2 = materialize.snapshots(t)[-1]["snapshot_id"]
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 99), ("d", 4)]), ["k"], n_buckets=2)
+    s3 = materialize.snapshots(t)[-1]["snapshot_id"]
+
+    s4 = materialize.rollback_table(t, s2)
+    assert s4 == s3 + 1
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    # the bad commit remains readable for forensics
+    bad = {(r["k"], r["v"])
+           for r in materialize.read_graph_table(spark, t, snapshot=s3).collect()}
+    assert ("a", 99) in bad and ("d", 4) in bad
+    # changelog across the rollback = inverse of the bad merge
+    ch = {(r["k"], r["v"], r["_change_type"])
+          for r in materialize.read_table_changes(spark, t, s3, s4).collect()}
+    assert ch == {("a", 99, "delete"), ("d", 4, "delete"), ("a", 1, "insert")}
+    # the table keeps working: merge on top of the rollback
+    materialize.merge_upsert(spark, t, _mk(spark, [("e", 5)]), ["k"], n_buckets=2)
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3), ("e", 5)}
+    with pytest.raises(ValueError, match="no snapshot 77"):
+        materialize.rollback_table(t, 77)
