@@ -713,6 +713,27 @@ def kg_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+def kg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-consumption (CDC) driver check: reading the triples
+    table's changelog from before the first commit (`from_snapshot=0`)
+    must reconstruct the full live table as 'insert' rows — exercising
+    `read_table_changes`' file-granularity append path end-to-end on the
+    pipeline's own commits. Oracle = the GT triples with a literal
+    'insert' change type. The row-diff branch (rewritten buckets →
+    delete+insert images) is pytest-covered in test_merge_upsert."""
+    from financial_knowledge_graphs_spark.operators.materialize import (
+        read_table_changes,
+    )
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    return read_table_changes(
+        spark, os.path.join(root, "warehouse", "graph", "triples"), 0
+    ).select(
+        "doc_id", "subj_name", "pred", "obj_name",
+        "valueAmount", "percentage", "transactionDate", "_change_type",
+    )
+
+
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the materialized triples graph —
     GraphFrames-style iterative DataFrame joins with BIGINT fixed-point
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": kg_two_hop,
         "kg_neighbors": kg_neighbors,
         "kg_table_stats": kg_table_stats,
+        "kg_changelog": kg_changelog,
         "kg_pagerank": kg_pagerank,
         "kg_bfs": kg_bfs,
         "kg_triangles": kg_triangles,
@@ -1540,4 +1562,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'vertices' AS table_name,
                (SELECT count(*) FROM ({out['kg_vertices']}))::BIGINT AS n_rows
     """
+    # CDC from-the-beginning read == the live table, every row an insert
+    out["kg_changelog"] = (
+        f"SELECT t.*, 'insert' AS _change_type FROM ({out['kg_triples']}) t"
+    )
     return out
