@@ -681,3 +681,39 @@ def test_rollback_to_snapshot(spark, tmp_warehouse):
     assert got == {("a", 1), ("b", 2), ("c", 3), ("e", 5)}
     with pytest.raises(ValueError, match="no snapshot 77"):
         materialize.rollback_table(t, 77)
+
+
+def test_table_maintenance_cli_metadata_commands(spark, tmp_warehouse):
+    """The ops CLI's metadata-plane commands (snapshots / stats / rollback /
+    gc) run without a SparkSession — pure metadata, the shape that lets a
+    100 TB operator script table maintenance without cluster time."""
+    import json
+    import subprocess
+    import sys
+
+    t = os.path.join(tmp_warehouse, "clitbl")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], n_buckets=2)
+    materialize.merge_upsert(spark, t, _mk(spark, [("c", 3)]), ["k"], n_buckets=2)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cli = os.path.join(repo, "jobs", "table_maintenance.py")
+
+    def run(*args):
+        p = subprocess.run([sys.executable, cli, "--table", t, *args],
+                           capture_output=True, text=True, timeout=60)
+        assert p.returncode == 0, p.stderr
+        return [json.loads(ln) for ln in p.stdout.strip().splitlines()]
+
+    snaps = run("snapshots")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[-1]["rows"] == 3
+
+    st = run("stats")[0]
+    assert st["rows"] == 3 and st["n_buckets"] == 2
+
+    rb = run("rollback", "--snapshot", "1")[0]
+    assert rb["new_snapshot"] == 3
+    got = {(r["k"], r["v"]) for r in materialize.read_graph_table(spark, t).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+    gc = run("gc")[0]
+    assert gc["gc"] == "done" and 3 in gc["snapshots"]
