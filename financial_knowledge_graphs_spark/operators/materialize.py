@@ -748,34 +748,32 @@ def read_graph_table_pruned(spark: SparkSession, table_path: str,
     if not state or not state.get("dir_stats"):
         return _pred(read_graph_table(spark, table_path))
     dstats = state["dir_stats"]
-    paths = []
-    for b, vs in state["buckets"].items():
-        for v in _as_dirs(vs):
-            p = os.path.join(table_path, b, v)
-            if not os.path.isdir(p):
+
+    def _keep(b: str, v: str) -> bool:
+        st = dstats.get(f"{b}/{v}")
+        if not st:
+            return True  # absent bounds: never prune, always safe
+        for c, (lo, hi) in ranges.items():
+            if c not in st:
                 continue
-            st = dstats.get(f"{b}/{v}")
-            skip = False
-            if st:
-                for c, (lo, hi) in ranges.items():
-                    if c not in st:
-                        continue
-                    cmin, cmax = st[c]
-                    if (lo is not None and cmax < lo) or (
-                        hi is not None and cmin > hi
-                    ):
-                        skip = True
-                        break
-            if not skip:
-                paths.append(p)
-    if not paths:
+            cmin, cmax = st[c]
+            if (lo is not None and cmax < lo) or (hi is not None and cmin > hi):
+                return False
+        return True
+
+    # only DATA dirs are skipped; a bucket's equality-delete dirs always
+    # load (_snapshot_scan) — skipping a delete would resurrect rows in
+    # the dirs that do get read
+    out = _snapshot_scan(spark, table_path, state, data_dir_filter=_keep,
+                         strict=False)
+    if out is None:
         empty = _empty_df(spark, table_path, state)
         if empty is not None:
             return _pred(empty)
         # no schema recorded and everything pruned: exact filter over the
         # full read (still correct, just unpruned — legacy-only corner)
         return _pred(read_graph_table(spark, table_path))
-    return _pred(_read_with_schema(spark, paths, state))
+    return _pred(out)
 
 
 def table_stats(table_path: str) -> dict | None:
@@ -863,7 +861,10 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
                      n_buckets: int, schema,
                      stats: dict | None = None,
                      base_sid: int | None = None,
-                     dir_stats: dict | None = None) -> int:
+                     dir_stats: dict | None = None,
+                     deletes: dict | None = None,
+                     dir_seq: dict | None = None,
+                     delete_keys: list[str] | None = None) -> int:
     """THE commit: write the snapshot's metadata file (staged via tmp +
     os.replace), then atomically swap version-hint.text onto it. A crash
     before the hint swap leaves the previous snapshot live and the new
@@ -874,7 +875,15 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
     concurrency): if the live snapshot moved past the base this writer
     staged against, raise :class:`CommitConflictError` instead of
     installing a bucket map that silently drops the winner's buckets.
-    The check-and-swap pair is serialized by the per-table commit lock."""
+    The check-and-swap pair is serialized by the per-table commit lock.
+
+    Merge-on-read state (Iceberg format-v2 row-level deletes): ``deletes``
+    maps bucket → [[delete_dir, seq], ...] (equality-delete files) and
+    ``dir_seq`` maps "bucket/dir" → data sequence number. Entries whose
+    seq is None were staged THIS commit — the snapshot id is assigned
+    under the lock, so they are stamped with it here (Iceberg gives a
+    commit's data and delete files the same sequence number; deletes
+    apply strictly to LOWER sequences)."""
     import json
     import os
     import time as _time
@@ -890,6 +899,14 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
         legacy = _legacy_jsonl_snapshots(table_path)
         base = max([_max_meta_sid(table_path)] + [s["snapshot_id"] for s in legacy])
         sid = base + 1
+        stamped_deletes = {
+            b: [[d, sid if s is None else int(s)] for d, s in items]
+            for b, items in (deletes or {}).items() if items
+        }
+        stamped_seq = {
+            k: (sid if s is None else int(s))
+            for k, s in (dir_seq or {}).items()
+        }
         meta = {
             "snapshot_id": sid,
             "ts": _time.time(),
@@ -898,6 +915,9 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
             "stats": stats if stats is not None else {},
             "dir_stats": dir_stats if dir_stats is not None else {},
             "schema": schema.jsonValue() if schema is not None else None,
+            "deletes": stamped_deletes,
+            "dir_seq": stamped_seq,
+            "delete_keys": delete_keys or None,
         }
         tmp = os.path.join(md, f".v{sid:07d}.metadata.json.tmp")
         with open(tmp, "w") as f:
@@ -1063,10 +1083,14 @@ def _gc_versions(table_path: str) -> None:
     for s in retained:
         for b, vs in s["buckets"].items():
             live.setdefault(b, set()).update(_as_dirs(vs))
+        for b, items in (s.get("deletes") or {}).items():
+            live.setdefault(b, set()).update(d for d, _ in items)
     expired_ref: dict[str, set[str]] = {}
     for s in expired:
         for b, vs in s["buckets"].items():
             expired_ref.setdefault(b, set()).update(_as_dirs(vs))
+        for b, items in (s.get("deletes") or {}).items():
+            expired_ref.setdefault(b, set()).update(d for d, _ in items)
     cutoff = _time.time() - ORPHAN_STAGING_TTL_S
     for b in _bucket_dirs(table_path):
         bdir = os.path.join(table_path, b)
@@ -1156,6 +1180,112 @@ def _read_with_schema(spark: SparkSession, paths: list[str],
     return spark.read.parquet(*paths)
 
 
+def _snapshot_scan(spark: SparkSession, table_path: str, snap: dict,
+                   buckets: list[str] | None = None,
+                   data_dir_filter=None, strict: bool = True,
+                   schema_from: dict | None = None) -> DataFrame | None:
+    """Resolve a snapshot to its visible rows — THE single read path every
+    reader (live scan, time travel, CDC diff, point lookup, compaction,
+    rebucket, merge survivor read) funnels through, so merge-on-read
+    delete application can never be skipped by one of them.
+
+    Merge-on-read (Iceberg format-v2): a bucket may carry equality-delete
+    dirs (key-tuple parquet) alongside its data dirs, each with a commit
+    sequence number. A delete at sequence S hides matching rows in data
+    dirs with sequence < S only — the same commit's (or a later commit's)
+    re-insert of the key stays visible. COW-only tables (no delete
+    entries) take the original single multi-path scan; buckets without
+    deletes are bulk-read even when sibling buckets have them.
+
+    ``buckets`` restricts to a subset (point lookups, CDC per-bucket
+    diffs); ``data_dir_filter(bucket, dir)`` skips data dirs (manifest
+    bounds pruning — delete dirs are never skipped: hiding fewer rows
+    than committed would resurrect deleted data); ``strict`` raises on a
+    GC'd dir (time travel) instead of skipping it (live reads tolerate a
+    concurrent GC). ``schema_from`` reads rows through ANOTHER snapshot's
+    schema (CDC reads both sides through the TO snapshot). Returns None
+    when no data dirs are referenced (caller supplies the empty frame)."""
+    import os
+
+    from functools import reduce
+
+    bmap = snap.get("buckets", {})
+    dmap = snap.get("deletes") or {}
+    sel = list(bmap) if buckets is None else [b for b in buckets if b in bmap]
+    read_meta = schema_from if schema_from is not None else snap
+
+    def _dir(b: str, v: str) -> str | None:
+        p = os.path.join(table_path, b, v)
+        if not os.path.isdir(p):
+            if strict:
+                raise ValueError(
+                    f"snapshot {snap.get('snapshot_id')} expired (bucket {b} "
+                    f"version {v} GC'd; retention={SNAPSHOT_RETENTION})"
+                )
+            return None
+        return p
+
+    entries = []  # (bucket, seq, path) for data dirs
+    dseq = snap.get("dir_seq") or {}
+    for b in sel:
+        for v in _as_dirs(bmap[b]):
+            if data_dir_filter is not None and not data_dir_filter(b, v):
+                continue
+            p = _dir(b, v)
+            if p is not None:
+                entries.append((b, int(dseq.get(f"{b}/{v}", 0)), p))
+    del_entries = []  # (bucket, seq, path) for equality-delete dirs
+    for b in sel:
+        for item in dmap.get(b, []):
+            p = _dir(b, item[0])
+            if p is not None:
+                del_entries.append((b, int(item[1]), p))
+    if not entries:
+        return None
+    if not del_entries:
+        return _read_with_schema(spark, [p for _, _, p in entries], read_meta)
+
+    mor_buckets = {b for b, _, _ in del_entries}
+    parts = []
+    plain = [p for b, _, p in entries if b not in mor_buckets]
+    if plain:
+        parts.append(_read_with_schema(spark, plain, read_meta))
+    by_seq: dict[int, list[str]] = {}
+    for b, s, p in entries:
+        if b in mor_buckets:
+            by_seq.setdefault(s, []).append(p)
+    if by_seq:
+        tagged = None
+        for s in sorted(by_seq):
+            t = _read_with_schema(spark, by_seq[s], read_meta).withColumn(
+                "__seq", F.lit(int(s))
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+        dby: dict[int, list[str]] = {}
+        for _, s, p in del_entries:
+            dby.setdefault(s, []).append(p)
+        dels = None
+        for s in sorted(dby):
+            d = spark.read.parquet(*dby[s]).withColumn("__dseq", F.lit(int(s)))
+            dels = d if dels is None else dels.unionByName(d)
+        key_cols = [c for c in dels.columns if c != "__dseq"]
+        # NULL-SAFE key equality (triples merge keys include nullable
+        # columns) as the equi part; the sequence inequality is the
+        # residual condition on the same anti-join
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+        ) & (F.col("s.__dseq") > F.col("t.__seq"))
+        parts.append(
+            tagged.alias("t").join(dels.alias("s"), cond, "left_anti")
+            .drop("__seq")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _empty_df(spark: SparkSession, table_path: str, meta: dict | None):
     from pyspark.sql.types import StructType
 
@@ -1187,22 +1317,13 @@ def read_graph_table(spark: SparkSession, table_path: str,
             )
         if snap is None:
             raise ValueError(f"no snapshot {snapshot} recorded for {table_path}")
-        paths = []
-        for b, vs in snap["buckets"].items():
-            for v in _as_dirs(vs):
-                p = os.path.join(table_path, b, v)
-                if not os.path.isdir(p):
-                    raise ValueError(
-                        f"snapshot {snapshot} expired (bucket {b} version {v} "
-                        f"GC'd; retention={SNAPSHOT_RETENTION})"
-                    )
-                paths.append(p)
-        if not paths:
+        out = _snapshot_scan(spark, table_path, snap, strict=True)
+        if out is None:
             empty = _empty_df(spark, table_path, snap)
             if empty is not None:
                 return empty
             raise ValueError(f"snapshot {snapshot} is empty and carries no schema")
-        return _read_with_schema(spark, paths, snap)
+        return out
 
     state = _table_state(table_path)
     if state is None:
@@ -1213,20 +1334,15 @@ def read_graph_table(spark: SparkSession, table_path: str,
             if empty is not None:  # committed zero-row table
                 return empty
         return spark.read.parquet(table_path)
-    paths = [
-        os.path.join(table_path, b, v)
-        for b, vs in state["buckets"].items()
-        for v in _as_dirs(vs)
-        if os.path.isdir(os.path.join(table_path, b, v))
-    ]
-    if not paths:
+    out = _snapshot_scan(spark, table_path, state, strict=False)
+    if out is None:
         empty = _empty_df(spark, table_path, state)
         if empty is not None:
             return empty
         raise ValueError(
             f"{table_path}: bucket layout present but no readable versions"
         )
-    return _read_with_schema(spark, paths, state)
+    return out
 
 
 def read_table_changes(spark: SparkSession, table_path: str,
@@ -1288,18 +1404,24 @@ def read_table_changes(spark: SparkSession, table_path: str,
         return out
 
     append_paths: list[str] = []
-    diff_a: list[str] = []
-    diff_b: list[str] = []
+    diff_buckets: list[str] = []
+    dels_a = a.get("deletes") or {}
+    dels_b = b.get("deletes") or {}
     for bk in set(a["buckets"]) | set(b["buckets"]):
         da = set(_as_dirs(a["buckets"].get(bk, [])))
         db = set(_as_dirs(b["buckets"].get(bk, [])))
-        if da == db:
+        same_dels = dels_a.get(bk, []) == dels_b.get(bk, [])
+        if da == db and same_dels:
             continue  # untouched bucket: zero I/O
-        if da <= db:
+        if da <= db and same_dels:
+            # pure growth with unchanged deletes: the new dirs' sequence
+            # numbers exceed every pending delete's, so none of their rows
+            # are hidden — ship them at file granularity, zero old-data I/O
             append_paths += _paths(to_snapshot, bk, db - da)
         else:
-            diff_a += _paths(from_snapshot, bk, da)
-            diff_b += _paths(to_snapshot, bk, db)
+            # rewritten, or merge-on-read commit (new equality deletes):
+            # row-level multiset diff over the bucket's RESOLVED rows
+            diff_buckets.append(bk)
 
     def _empty():
         e = _empty_df(spark, table_path, b if b.get("schema") else None)
@@ -1311,9 +1433,13 @@ def read_table_changes(spark: SparkSession, table_path: str,
             _read_with_schema(spark, append_paths, b)
             .withColumn("_change_type", F.lit("insert"))
         )
-    if diff_a or diff_b:
-        rows_a = _read_with_schema(spark, diff_a, b) if diff_a else None
-        rows_b = _read_with_schema(spark, diff_b, b) if diff_b else None
+    if diff_buckets:
+        # both sides resolved through _snapshot_scan (equality deletes
+        # applied), both read through the TO snapshot's schema
+        rows_a = _snapshot_scan(spark, table_path, a, buckets=diff_buckets,
+                                strict=True, schema_from=b)
+        rows_b = _snapshot_scan(spark, table_path, b, buckets=diff_buckets,
+                                strict=True)
         if rows_a is None:
             rows_a = spark.createDataFrame([], rows_b.schema)
         if rows_b is None:
@@ -1390,19 +1516,15 @@ def lookup_by_key(spark: SparkSession, table_path: str, keys: list[str],
     )
     b = cond_df.select(_bucket_expr(keys, n_buckets).alias("b")).first()["b"]
     bname = f"bucket={b}"
-    vs = (state or {}).get("buckets", {}).get(bname)
-    bpaths = [
-        os.path.join(table_path, bname, v)
-        for v in _as_dirs(vs) if vs is not None
-        if os.path.isdir(os.path.join(table_path, bname, v))
-    ] if vs is not None else []
-    if not bpaths:
+    out = _snapshot_scan(spark, table_path, state or {}, buckets=[bname],
+                         strict=False)
+    if out is None:
         # bucket empty at this snapshot → key absent (typed hash is exact)
         empty = _empty_df(spark, table_path, state)
         if empty is not None:
             return empty.filter(pred)
         return read_graph_table(spark, table_path).filter(pred).limit(0)
-    return _read_with_schema(spark, bpaths, state).filter(pred)
+    return out.filter(pred)
 
 
 def rollback_table(table_path: str, snapshot_id: int) -> int:
@@ -1431,13 +1553,18 @@ def rollback_table(table_path: str, snapshot_id: int) -> int:
             f"(expired past retention={SNAPSHOT_RETENTION}, or never "
             f"committed)"
         )
-    for b, vs in meta["buckets"].items():
-        for v in _as_dirs(vs):
-            if not os.path.isdir(os.path.join(table_path, b, v)):
-                raise ValueError(
-                    f"snapshot {snapshot_id} expired (bucket {b} version "
-                    f"{v} GC'd; retention={SNAPSHOT_RETENTION})"
-                )
+    targets = [
+        (b, v) for b, vs in meta["buckets"].items() for v in _as_dirs(vs)
+    ] + [
+        (b, d) for b, items in (meta.get("deletes") or {}).items()
+        for d, _ in items
+    ]
+    for b, v in targets:
+        if not os.path.isdir(os.path.join(table_path, b, v)):
+            raise ValueError(
+                f"snapshot {snapshot_id} expired (bucket {b} version "
+                f"{v} GC'd; retention={SNAPSHOT_RETENTION})"
+            )
     schema = StructType.fromJson(meta["schema"]) if meta.get("schema") else None
     if schema is not None:
         _write_schema(table_path, schema)
@@ -1445,6 +1572,9 @@ def rollback_table(table_path: str, snapshot_id: int) -> int:
         table_path, meta["buckets"], meta.get("n_buckets"), schema,
         meta.get("stats") or {}, base_sid=_live_sid(table_path),
         dir_stats=meta.get("dir_stats") or {},
+        deletes=meta.get("deletes") or {},
+        dir_seq=meta.get("dir_seq") or {},
+        delete_keys=meta.get("delete_keys"),
     )
 
 
@@ -1462,7 +1592,8 @@ MERGE_COMMIT_RETRIES = 3
 
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                  keys: list[str], n_buckets: int = DEFAULT_MERGE_BUCKETS,
-                 deletes: DataFrame | None = None) -> None:
+                 deletes: DataFrame | None = None,
+                 mode: str = "cow") -> None:
     """Idempotent keyed upsert: new rows win on key collision (MERGE INTO ...
     WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT), rewriting only the
     hash-buckets the update keys land in. ``deletes`` (key columns only) is
@@ -1470,16 +1601,35 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     (tombstones for re-canonicalized entities). See the section comment
     above for the crash-atomicity story.
 
+    ``mode`` picks the row-level-delete strategy, exactly Iceberg's
+    ``write.merge.mode``:
+
+    - ``"cow"`` (copy-on-write, default): buckets holding matched rows are
+      rewritten without them. Reads stay single-scan; best for read-heavy
+      tables and large batches.
+    - ``"mor"`` (merge-on-read, Iceberg format-v2): matched buckets are NOT
+      rewritten — the merge appends an equality-delete file (the batch's
+      key tuples) plus the new data file, both stamped with the commit's
+      sequence number; readers anti-join deletes onto older-sequence data
+      files (``_snapshot_scan``). Writes are O(batch) even when every
+      bucket holds matches — the update-heavy streaming-upsert path at
+      100 TB. A bucket whose data or delete file count would pass
+      AUTO_COMPACT_FILES folds into a copy-on-write rewrite (applying and
+      clearing its deletes), so read amplification stays bounded;
+      ``compact_table`` reconciles the rest.
+
     CONCURRENT writers are safe (Iceberg's optimistic model): each attempt
     stages against the snapshot it read, and the commit is a compare-and-
     swap on the live snapshot id — a loser never installs a bucket map that
     would drop the winner's buckets; it recomputes from the winner's
     snapshot and retries (its orphaned staged dirs fall to version GC).
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
     for attempt in range(MERGE_COMMIT_RETRIES):
         try:
             return _merge_upsert_attempt(
-                spark, table_path, updates, keys, n_buckets, deletes
+                spark, table_path, updates, keys, n_buckets, deletes, mode
             )
         except CommitConflictError:
             if attempt == MERGE_COMMIT_RETRIES - 1:
@@ -1489,7 +1639,8 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
 def _merge_upsert_attempt(spark: SparkSession, table_path: str,
                           updates: DataFrame, keys: list[str],
                           n_buckets: int = DEFAULT_MERGE_BUCKETS,
-                          deletes: DataFrame | None = None) -> None:
+                          deletes: DataFrame | None = None,
+                          mode: str = "cow") -> None:
     import os
     import shutil
 
@@ -1547,25 +1698,25 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     shutil.rmtree(staging, ignore_errors=True)
 
     dirty: set[int] = set()
+    mor: set[int] = set()  # matched buckets taking the merge-on-read path
+    mor_gone = None        # their equality-delete key frame
     if exists:
         touched = pre_touched
         # read ONLY the touched buckets' live data files (legacy flat dirs
         # degrade to a full read + full re-bucket, a one-time migration)
         if prev_map:
-            paths = []
-            for b in touched:
-                for v in prev_map.get(f"bucket={b}", []):
-                    p = os.path.join(table_path, f"bucket={b}", v)
-                    if os.path.isdir(p):
-                        paths.append(p)
-            # THROUGH the snapshot's recorded schema, not footer inference:
-            # after an add-column clean append a bucket's version dirs have
-            # MIXED schemas, and footer inference could pick a pre-evolution
-            # file and silently drop the new column from every survivor row
+            # resolved through _snapshot_scan: schema-evolution-safe (reads
+            # through the snapshot's recorded schema, not footer inference)
+            # AND merge-on-read-safe (pending equality deletes applied — a
+            # MOR-hidden row must not count as a match nor survive a
+            # rewrite, or deleted rows would resurrect)
+            scan = _snapshot_scan(
+                spark, table_path, state,
+                buckets=[f"bucket={b}" for b in touched], strict=False,
+            )
             existing = (
-                _read_with_schema(spark, paths, state)
-                .withColumn("__bucket", _bucket_expr(keys, n_buckets))
-                if paths else None
+                scan.withColumn("__bucket", _bucket_expr(keys, n_buckets))
+                if scan is not None else None
             )
         elif state is None and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(table_path)
@@ -1603,16 +1754,44 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
             # bucket accumulating > AUTO_COMPACT_FILES data files is folded
             # into the rewrite (inline compaction — amortized O(history /
             # AUTO_COMPACT_FILES), the Iceberg rewrite_data_files analog).
-            dirty |= {
+            matched = {
                 r["__bucket"]
                 for r in existing.alias("t")
                 .join(gone.alias("s"), cond, "left_semi")
                 .select("__bucket").distinct().collect()
             }
+            if mode == "mor" and matched:
+                prior_dk = (state or {}).get("delete_keys")
+                if prior_dk and list(prior_dk) != list(keys):
+                    raise ValueError(
+                        f"{table_path}: merge-on-read requires a stable key "
+                        f"set per table (recorded {prior_dk}, got {keys}) — "
+                        f"equality-delete files join on their own columns"
+                    )
+                prior_dels = (state or {}).get("deletes") or {}
+                # a matched bucket stays merge-on-read only while BOTH its
+                # file counts stay under the cap; past it, fold into a
+                # copy-on-write rewrite (applies + clears its deletes) —
+                # bounded read amplification, Iceberg's compaction contract
+                mor = {
+                    b for b in matched
+                    if len(prev_map.get(f"bucket={b}", [])) + 1 <= AUTO_COMPACT_FILES
+                    and len(prior_dels.get(f"bucket={b}", [])) + 1 <= AUTO_COMPACT_FILES
+                }
+            dirty |= matched - mor
             dirty |= {
                 b for b in (touched or [])
-                if len(prev_map.get(f"bucket={b}", [])) + 1 > AUTO_COMPACT_FILES
+                if b not in mor
+                and len(prev_map.get(f"bucket={b}", [])) + 1 > AUTO_COMPACT_FILES
             }
+            if mor:
+                # the batch's key tuples, restricted to MOR buckets — the
+                # equality-delete file content (Iceberg streaming-upsert
+                # writers emit a delete for every upsert key; applying a
+                # delete for an unmatched key is a no-op by construction)
+                mor_gone = gone.withColumn(
+                    "__bucket", _bucket_expr(keys, n_buckets)
+                ).filter(F.col("__bucket").isin(*[int(x) for x in mor]))
             if dirty:
                 survivors = existing.alias("t").join(
                     gone.alias("s"), cond, "left_anti"
@@ -1639,6 +1818,15 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     merged.repartition(n_buckets, F.col("__bucket")).write.partitionBy(
         "__bucket"
     ).mode("overwrite").parquet(staging)
+    del_staging = None
+    if mor_gone is not None:
+        # equality-delete files staged exactly like data files: one dir per
+        # MOR bucket, installed as ordinary immutable version dirs and only
+        # made visible by the snapshot's `deletes` map at the hint swap
+        del_staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
+        mor_gone.repartition(max(len(mor), 1), F.col("__bucket")).write.partitionBy(
+            "__bucket"
+        ).mode("overwrite").parquet(del_staging)
 
     migrated_flat = exists and state is None and not _bucket_dirs(table_path)
     # STAGE: move each staged bucket dir to a fresh immutable version dir.
@@ -1657,6 +1845,14 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
         k: v for k, v in ((state or {}).get("stats") or {}).items() if k in new_map
     }
     new_dir_stats = dict((state or {}).get("dir_stats") or {})
+    # merge-on-read bookkeeping: pending equality deletes + data sequence
+    # numbers carry forward; COW-rewritten (and first-write) buckets clear
+    # their deletes — the resolved survivor read already applied them
+    new_deletes = {
+        b: list(items)
+        for b, items in (((state or {}).get("deletes") or {}).items())
+    } if touched is not None else {}
+    new_dir_seq = dict((state or {}).get("dir_seq") or {})
     installed = set()
     for d in staged:
         b = int(d.split("=", 1)[1])
@@ -1668,6 +1864,7 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
         nxt = _install_version(os.path.join(staging, d), bdir)
         fresh = _bucket_file_stats(os.path.join(bdir, nxt))
         new_dir_stats[f"{bname}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
+        new_dir_seq[f"{bname}/{nxt}"] = None  # stamped with the commit's sid
         if b in dirty or touched is None or not new_map.get(bname):
             # full rewrite (or first write): the new dir IS the bucket
             new_map[bname] = [nxt]
@@ -1686,21 +1883,44 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     # touched buckets without staged rows (a delete that matched nothing)
     # keep their files.
     for b in dirty:
+        new_deletes.pop(f"bucket={b}", None)  # rewrite applied them
         if b not in installed:
             new_map.pop(f"bucket={b}", None)
             new_stats.pop(f"bucket={b}", None)
+    if del_staging is not None:
+        for d in os.listdir(del_staging):
+            if not (d.startswith("__bucket=")
+                    and os.path.isdir(os.path.join(del_staging, d))):
+                continue
+            b = int(d.split("=", 1)[1])
+            bname = f"bucket={b}"
+            bdir = os.path.join(table_path, bname)
+            os.makedirs(bdir, exist_ok=True)
+            nxt = _install_version(os.path.join(del_staging, d), bdir)
+            new_deletes.setdefault(bname, []).append([nxt, None])
+        shutil.rmtree(del_staging, ignore_errors=True)
     # per-dir column bounds follow the bucket map: entries for dirs no
     # longer referenced are dropped with them
     live_dirs = {f"{b}/{v}" for b, vs in new_map.items() for v in _as_dirs(vs)}
     new_dir_stats = {k: v for k, v in new_dir_stats.items() if k in live_dirs}
+    new_dir_seq = {k: v for k, v in new_dir_seq.items() if k in live_dirs}
+    new_deletes = {b: v for b, v in new_deletes.items() if b in new_map and v}
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
     _write_schema(table_path, schema)  # legacy readers + zero-row compat
     # COMMIT: one atomic compare-and-swap installs the whole snapshot (a
     # conflict raises to the retry wrapper); then expire versions beyond
     # the retention window (prior snapshots stay readable via time travel)
+    # keys recorded for the surviving delete files: the set that WROTE them
+    # (the MOR guard enforces stability, so prior and current agree when
+    # both contribute)
+    delete_keys = (
+        ((state or {}).get("delete_keys") or list(keys)) if new_deletes else None
+    )
     _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
-                     base_sid=base_sid, dir_stats=new_dir_stats)
+                     base_sid=base_sid, dir_stats=new_dir_stats,
+                     deletes=new_deletes, dir_seq=new_dir_seq,
+                     delete_keys=delete_keys)
     for b in _bucket_dirs(table_path):
         # drop stale per-bucket CURRENT pointers (pre-metadata layout) so
         # they can't pin GC'd versions or confuse legacy readers
@@ -1754,6 +1974,7 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
     new_map: dict[str, str] = {}
     new_stats: dict[str, dict] = {}
     new_dir_stats: dict[str, dict] = {}
+    new_dir_seq: dict[str, int | None] = {}
     for d in os.listdir(staging):
         if not (d.startswith("__bucket=") and os.path.isdir(os.path.join(staging, d))):
             continue
@@ -1764,11 +1985,15 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         new_map[f"bucket={b}"] = [nxt]
         new_stats[f"bucket={b}"] = _bucket_file_stats(os.path.join(bdir, nxt))
         new_dir_stats[f"bucket={b}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
+        new_dir_seq[f"bucket={b}/{nxt}"] = None
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
     _write_schema(table_path, schema)
+    # the resolved full read applied any pending equality deletes, so the
+    # re-bucketed table starts with a clean (delete-free) MOR state
     _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats,
-                     base_sid=base_sid, dir_stats=new_dir_stats)
+                     base_sid=base_sid, dir_stats=new_dir_stats,
+                     dir_seq=new_dir_seq)
     for b in _bucket_dirs(table_path):
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):
@@ -1796,10 +2021,15 @@ def compact_table(spark: SparkSession, table_path: str,
     if not state:
         return
     base_sid = state["snapshot_id"]
+    pending_dels = state.get("deletes") or {}
+    # a bucket compacts when its data files pass the threshold OR it holds
+    # merge-on-read equality-delete files — compaction is what reconciles
+    # MOR state back to a single clean file (Iceberg rewrite_data_files
+    # with delete-file compaction)
     todo = {
         b: _as_dirs(vs)
         for b, vs in state["buckets"].items()
-        if len(_as_dirs(vs)) > max_files
+        if len(_as_dirs(vs)) > max_files or pending_dels.get(b)
     }
     if not todo:
         return
@@ -1815,28 +2045,31 @@ def compact_table(spark: SparkSession, table_path: str,
     new_map = dict({b: _as_dirs(vs) for b, vs in state["buckets"].items()})
     new_stats = dict(state.get("stats") or {})
     new_dir_stats = dict(state.get("dir_stats") or {})
+    new_deletes = {b: list(v) for b, v in pending_dels.items()}
+    new_dir_seq = dict(state.get("dir_seq") or {})
     for b, vs in todo.items():
-        bpaths = [
-            os.path.join(table_path, b, v) for v in vs
-            if os.path.isdir(os.path.join(table_path, b, v))
-        ]
-        if not bpaths:
+        # resolved read: applies the bucket's pending equality deletes
+        # (which this rewrite then CLEARS) and resolves mixed-schema files
+        # through the snapshot's recorded schema — footer inference could
+        # drop an evolved column for the whole compacted bucket
+        rows = _snapshot_scan(spark, table_path, state, buckets=[b],
+                              strict=False)
+        if rows is None:
             continue
         out = os.path.join(staging, b)
-        # schema-resolved read: a bucket's files may straddle an add-column
-        # evolution; footer inference could drop the evolved column for the
-        # whole compacted bucket (permanent loss from a maintenance op)
-        _read_with_schema(spark, bpaths, state).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out)
+        rows.coalesce(1).write.mode("overwrite").parquet(out)
         bdir = os.path.join(table_path, b)
         nxt = _install_version(out, bdir)
         new_map[b] = [nxt]
         new_stats[b] = _bucket_file_stats(os.path.join(bdir, nxt))
         new_dir_stats[f"{b}/{nxt}"] = _dir_col_stats(os.path.join(bdir, nxt))
+        new_dir_seq[f"{b}/{nxt}"] = None  # stamped with the commit's sid
+        new_deletes.pop(b, None)  # applied by the rewrite
     shutil.rmtree(staging, ignore_errors=True)
     live_dirs = {f"{b}/{v}" for b, vs in new_map.items() for v in _as_dirs(vs)}
     new_dir_stats = {k: v for k, v in new_dir_stats.items() if k in live_dirs}
+    new_dir_seq = {k: v for k, v in new_dir_seq.items() if k in live_dirs}
+    new_deletes = {b: v for b, v in new_deletes.items() if b in new_map and v}
     from pyspark.sql.types import StructType
 
     schema = (
@@ -1844,5 +2077,7 @@ def compact_table(spark: SparkSession, table_path: str,
         else _read_schema(table_path)
     )
     _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
-                     base_sid=base_sid, dir_stats=new_dir_stats)
+                     base_sid=base_sid, dir_stats=new_dir_stats,
+                     deletes=new_deletes, dir_seq=new_dir_seq,
+                     delete_keys=state.get("delete_keys") if new_deletes else None)
     _gc_versions(table_path)
