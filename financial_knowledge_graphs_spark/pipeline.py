@@ -47,6 +47,12 @@ class PipelineConfig:
     extract_partitions: int | None = None  # None = 3 x total cores
     embedding_link: bool = False        # add char-n-gram cosine link edges
     embedding_threshold: float = 0.75
+    # row-level-delete strategy for the graph-table merges (Iceberg
+    # write.merge.mode): "cow" rewrites matched buckets (read-optimized);
+    # "mor" appends equality-delete + data files (write-optimized — the
+    # streaming-upsert path when re-canonicalization touches many buckets
+    # per batch). Same final content either way; compaction reconciles.
+    merge_mode: str = "cow"
 
 
 # Bump when the linking algorithm itself changes in a way that alters which
@@ -236,6 +242,7 @@ def run_pipeline(
             "companyName", "ticker", "industry", "country",
         ).dropDuplicates(["doc_id", "type", "name"]),
         ["doc_id", "type", "name"],
+        mode=cfg.merge_mode,
     )
     _ph["ledger_merge"] = round(time.time() - _t, 3); _t = time.time()
     # ---- canonicalization: full CC on the first batch, TOUCHED-COMPONENTS-
@@ -421,12 +428,14 @@ def run_pipeline(
         materialize.merge_upsert(
             spark, paths["vertices"], vertices,
             ["entity_id"], materialize.DEFAULT_MERGE_BUCKETS, stale_vertex_keys,
+            mode=cfg.merge_mode,
         )
 
     def _merge_triples():
         materialize.merge_upsert(
             spark, paths["triples"], triple_updates,
             triple_keys, materialize.DEFAULT_MERGE_BUCKETS, triple_deletes,
+            mode=cfg.merge_mode,
         )
 
     def _merge_graph():
@@ -453,7 +462,8 @@ def run_pipeline(
         # erase the evidence replay needs to re-derive the remap.
         if mapping_updates is not None:
             materialize.merge_upsert(
-                spark, paths["mapping"], mapping_updates.select(*map_cols), ["key"]
+                spark, paths["mapping"], mapping_updates.select(*map_cols),
+                ["key"], mode=cfg.merge_mode,
             )
         return None
 

@@ -9,7 +9,7 @@ If incremental linking is history-independent, t_incremental ~= t_fresh
 (the gap is the ledger scan + mapping read); the round-2 full-ledger design
 gave t_incremental growing with N.
 
-  python jobs/bench_incremental.py [n_total=500000] [batch=20000] [cpus=8] [zipf]
+  python jobs/bench_incremental.py [n_total=500000] [batch=20000] [cpus=8] [zipf] [mode=cow|mor]
 
 Prints one JSON line.
 """
@@ -31,6 +31,10 @@ def main() -> None:
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     zipf = len(sys.argv) > 4 and sys.argv[4] == "zipf"
+    # merge strategy for the graph tables: "mor" measures the Iceberg-v2
+    # merge-on-read write path (equality-delete files instead of bucket
+    # rewrites) against the same workload
+    mode = sys.argv[5] if len(sys.argv) > 5 else "cow"
 
     from pyspark.sql import functions as F
 
@@ -69,11 +73,11 @@ def main() -> None:
     n_batch = batch_docs.count()
 
     out = {"n_total": n_total, "batch_docs": n_batch, "cpus": cpus,
-           "zipf": zipf}
+           "zipf": zipf, "merge_mode": mode}
 
     wh = tempfile.mkdtemp(prefix="fkg_incr_wh_")
     t0 = time.time()
-    r1 = run_pipeline(spark, history_docs, alias, PipelineConfig(warehouse=wh))
+    r1 = run_pipeline(spark, history_docs, alias, PipelineConfig(warehouse=wh, merge_mode=mode))
     out["t_seed_history"] = round(time.time() - t0, 3)
     out["history_processed"] = r1.docs_processed
 
@@ -82,20 +86,20 @@ def main() -> None:
     # the ledger + checkpoint tables, not by re-scanning history), so this
     # measures canonicalization-vs-history, not input re-prep
     t0 = time.time()
-    r2 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=wh))
+    r2 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=wh, merge_mode=mode))
     out["t_incremental_batch"] = round(time.time() - t0, 3)
     out["incremental_processed"] = r2.docs_processed
     out["incremental_phases"] = r2.extra.get("phase_seconds")
 
     t0 = time.time()
-    r2b = run_pipeline(spark, batch2_docs, alias, PipelineConfig(warehouse=wh))
+    r2b = run_pipeline(spark, batch2_docs, alias, PipelineConfig(warehouse=wh, merge_mode=mode))
     out["t_incremental_batch2"] = round(time.time() - t0, 3)
     out["incremental2_processed"] = r2b.docs_processed
     out["incremental2_phases"] = r2b.extra.get("phase_seconds")
 
     fresh = tempfile.mkdtemp(prefix="fkg_incr_fresh_")
     t0 = time.time()
-    r3 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=fresh))
+    r3 = run_pipeline(spark, batch_docs, alias, PipelineConfig(warehouse=fresh, merge_mode=mode))
     out["t_fresh_batch"] = round(time.time() - t0, 3)
     out["fresh_processed"] = r3.docs_processed
     out["fresh_phases"] = r3.extra.get("phase_seconds")

@@ -257,3 +257,38 @@ def test_link_config_drift_forces_full_relink(spark):
         assert r3.extra["link_config_relink"] is False
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_merge_on_read_pipeline_equals_cow(spark, small_corpus, tmp_warehouse):
+    """merge_mode='mor' (Iceberg v2 merge-on-read) must be invisible at the
+    content level: a batched MOR run — whose re-canonicalizations exercise
+    the equality-delete path on vertices/triples/mapping — reads back
+    identical to a single-run COW warehouse."""
+    import shutil
+    import tempfile
+
+    docs, alias = _docs_alias(spark, small_corpus)
+    run_pipeline(spark, docs, alias, PipelineConfig(
+        warehouse=tmp_warehouse, batch_size=120, merge_mode="mor"))
+    run_pipeline(spark, docs, alias, PipelineConfig(
+        warehouse=tmp_warehouse, merge_mode="mor"))
+
+    single = tempfile.mkdtemp(prefix="fkg_cow_")
+    try:
+        run_pipeline(spark, docs, alias, PipelineConfig(warehouse=single))
+        key = ["doc_id", "subj", "subj_name", "pred", "obj", "obj_name"]
+        a = materialize.read_graph_table(
+            spark, graph_paths(tmp_warehouse)["triples"]).select(*key)
+        b = materialize.read_graph_table(
+            spark, graph_paths(single)["triples"]).select(*key)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        vkey = ["entity_id", "type", "companyName", "n_mentions"]
+        va = materialize.read_graph_table(
+            spark, graph_paths(tmp_warehouse)["vertices"]).select(*vkey)
+        vb = materialize.read_graph_table(
+            spark, graph_paths(single)["vertices"]).select(*vkey)
+        assert va.exceptAll(vb).count() == 0
+        assert vb.exceptAll(va).count() == 0
+    finally:
+        shutil.rmtree(single, ignore_errors=True)
