@@ -431,6 +431,45 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (each event -> most recent order at or before
+    its timestamp, per customer) via the single-shuffle union-sort-merge
+    in operators/timeseries.py — NOT a range join (which explodes to all
+    (event, earlier-order) pairs before picking the max). Oracle is the
+    naive join+window formulation, cheap at oracle scale."""
+    from financial_knowledge_graphs_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate",
+        "o_totalprice",
+    )
+    res = asof_join(
+        e, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+    return res.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 2).alias("asof_totalprice"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity breaks a session) then
+    per-session rollup — the behavioural-training-data unit. One shuffle
+    for the session numbering + one partial/final agg."""
+    from financial_knowledge_graphs_spark.operators.timeseries import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 21600, "event_id")
+    return s.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (nation → status → grand total) —
     Catalyst expands grouping sets into one pass with partial aggs."""
@@ -826,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_status_counts": q_status_counts,
         "q_pricing_summary": q_pricing_summary,
         "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
         "q_orders_join_agg": q_orders_join_agg,
         "q_rollup_revenue": q_rollup_revenue,
         "q_salted_join": q_salted_join,
@@ -1502,6 +1543,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_asof_join": """
+            WITH ranked AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+                   round(o_totalprice, 2) AS asof_totalprice
+            FROM ranked WHERE rn = 1
+        """,
+        "q_sessionize": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+                FROM lagged
+            )
+            SELECT user_id, session_num, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_num
         """,
         "q_orders_join_agg": """
             SELECT n_name AS nation, count(*) AS n_orders,

@@ -1,0 +1,109 @@
+"""Time-series operators: as-of join and gap-based sessionization.
+
+Neither exists in the reference (its pipeline is batch document
+processing), but both are table-stakes for the event/market-data side of
+a financial KG at scale — "join each event to the most recent prior
+order/quote/price" is the canonical enrichment step, and sessionization
+is the standard unit for behavioural training data.
+
+Scale design:
+
+- ``asof_join`` does NOT use a range join (``l.key = r.key AND r.t <=
+  l.t`` explodes to O(|l| x |r| per key) before the per-row max is
+  taken). It uses the union-sort-merge formulation: tag both sides,
+  union, one window sorted by (time, side, tiebreak) per key, and carry
+  the right payload forward with ``last(ignorenulls)``. Exactly ONE
+  shuffle + sort over |l| + |r| rows, no intermediate blow-up, and
+  Catalyst keeps the whole thing in WholeStageCodegen. Hub keys are the
+  classic window-skew case; the mitigation at 100 TB is the usual one
+  (split a hub key's timeline into range chunks, as-of join each chunk
+  with the previous chunk's last payload as a seed row) — not needed at
+  the corpus sizes benched here.
+- ``sessionize`` is two window expressions over the SAME (key, time)
+  window spec, which Spark plans as a single Exchange + Sort — one
+  shuffle total. The break flag compares epoch seconds as doubles
+  (microsecond-exact: both engines compute micros/1e6 in IEEE double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_SRC = "__asof_src"
+_PAY = "__asof_payload"
+_TIE = "__asof_tie"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Backward as-of join: each ``left`` row gains the ``payload``
+    columns of the ``right`` row with the greatest ``right_time`` <=
+    its ``left_time`` (ties on ``right_time`` broken by the greatest
+    ``tiebreak``, so the result is deterministic). Left rows with no
+    prior right row keep NULL payloads (left-join semantics; filter
+    afterwards for inner).
+
+    ``on`` columns must exist on both sides with identical names; all
+    other column names must be disjoint. One shuffle, no row explosion
+    — see the module docstring.
+    """
+    r = right.select(
+        *on,
+        F.col(right_time).alias(_T),
+        F.lit(0).alias(_SRC),
+        F.col(tiebreak).alias(_TIE),
+        F.struct(*payload).alias(_PAY),
+    )
+    l = left.withColumn(_T, F.col(left_time)).withColumn(_SRC, F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal time (_SRC 0 < 1), so a
+    # right row at exactly t is visible to a left row at t; among right
+    # rows at equal time the largest tiebreak sorts last and wins last()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_T).asc(), F.col(_SRC).asc(), F.col(_TIE).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    out = carried.filter(F.col(_SRC) == 1)
+    for c in payload:
+        out = out.withColumn(c, F.col(_PAY)[c])
+    return out.drop(_T, _SRC, _TIE, _PAY)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap_seconds: float,
+    tiebreak: str,
+    session_col: str = "session_num",
+) -> DataFrame:
+    """Gap-based sessionization: within each ``key``'s timeline (ordered
+    by ``time``, ties by ``tiebreak``), a new session starts at the first
+    event and whenever the gap since the previous event exceeds
+    ``gap_seconds``. Adds ``session_col`` (1-based long, contiguous per
+    key). Single shuffle: both windows share one (key, time) sort.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+    # TIMESTAMP_NTZ (parquet default) has no direct numeric cast; route
+    # through LTZ — the constant session-tz offset cancels in the diff
+    sec = F.col(time).cast("timestamp").cast("double")
+    prev = F.lag(sec).over(w)
+    brk = F.when(
+        prev.isNull() | ((sec - prev) > float(gap_seconds)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(
+        session_col, F.sum(brk).over(run).cast("long")
+    )

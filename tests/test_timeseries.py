@@ -1,0 +1,112 @@
+"""as-of join + sessionization semantics and plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from financial_knowledge_graphs_spark.operators.timeseries import asof_join, sessionize
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_with_ties_and_misses(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 101, 9.0),
+            (1, _ts("2024-01-01 10:05:00"), 102, 10.0),
+            # two quotes at the SAME instant: larger tiebreak (qid) wins
+            (1, _ts("2024-01-01 10:05:00"), 103, 11.0),
+            (2, _ts("2024-01-01 12:00:00"), 201, 50.0),
+        ],
+        "key long, qt timestamp, qid long, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:03:00"), 1001),  # -> quote 101
+            (1, _ts("2024-01-01 10:05:00"), 1002),  # equal time -> 103 (tie)
+            (1, _ts("2024-01-01 11:00:00"), 1003),  # -> 103
+            (2, _ts("2024-01-01 11:59:59"), 2001),  # before any quote -> NULL
+            (3, _ts("2024-01-01 10:00:00"), 3001),  # key never quoted -> NULL
+        ],
+        "key long, tt timestamp, tid long",
+    )
+    got = {
+        r["tid"]: (r["qid"], r["px"])
+        for r in asof_join(
+            trades, quotes, on=["key"], left_time="tt", right_time="qt",
+            payload=["qid", "px"], tiebreak="qid",
+        ).collect()
+    }
+    assert got[1001] == (101, 9.0)
+    assert got[1002] == (103, 11.0)   # same-instant quote visible, max qid
+    assert got[1003] == (103, 11.0)
+    assert got[2001] == (None, None)  # left semantics keep the row
+    assert got[3001] == (None, None)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    quotes = spark.range(10).select(
+        (F.col("id") % 2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 60).alias("qt"),
+        F.col("id").alias("qid"), F.rand(7).alias("px"),
+    )
+    trades = spark.range(10).select(
+        (F.col("id") % 2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 60 + 30).alias("tt"),
+        F.col("id").alias("tid"),
+    )
+    plan = asof_join(
+        trades, quotes, on=["key"], left_time="tt", right_time="qt",
+        payload=["qid", "px"], tiebreak="qid",
+    )._jdf.queryExecution().executedPlan().toString()
+    # union-sort-merge: ONE exchange (the window's hash partitioning),
+    # no join operator at all
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sessionize_gap_breaks_and_ties(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1),
+            (1, _ts("2024-01-01 10:10:00"), 2),   # 10 min -> same session
+            (1, _ts("2024-01-01 11:10:01"), 3),   # 3601 s -> new session
+            (1, _ts("2024-01-01 12:10:01"), 4),   # exactly 3600 s -> SAME
+            (2, _ts("2024-01-01 10:00:00"), 5),   # separate key restarts at 1
+        ],
+        "user long, ts timestamp, eid long",
+    )
+    got = {
+        r["eid"]: r["session_num"]
+        for r in sessionize(ev, "user", "ts", 3600, "eid").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_subsecond_gap_precision(spark):
+    # microsecond-resolution boundary: 1.000001 s gap vs 1.0 s threshold
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00.000000"), 1),
+            (1, _ts("2024-01-01 10:00:01.000001"), 2),  # > 1 s -> break
+            (1, _ts("2024-01-01 10:00:02.000001"), 3),  # exactly 1 s -> same
+        ],
+        "user long, ts timestamp, eid long",
+    )
+    got = {
+        r["eid"]: r["session_num"]
+        for r in sessionize(ev, "user", "ts", 1, "eid").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    ev = spark.range(100).select(
+        (F.col("id") % 5).alias("user"),
+        F.timestamp_seconds(F.col("id") * 17).alias("ts"),
+        F.col("id").alias("eid"),
+    )
+    plan = sessionize(ev, "user", "ts", 60, "eid")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
