@@ -108,6 +108,8 @@ def main() -> None:
         "q_pricing_summary",
         "q_top_orders_per_customer",
         "q_orders_join_agg",
+        "q_asof_join",
+        "q_sessionize",
     ]:
         fn = qs.get(name)
         if fn is None:

@@ -239,3 +239,51 @@ def stream_running_company_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize_events(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "6 hours",
+    watermark: str = "0 seconds",
+):
+    """Streaming sessionization over an events file stream via Spark's
+    native ``session_window`` — the stateful-merge twin of the batch
+    ``operators/timeseries.sessionize``. State per key is the OPEN
+    session only (merged windows are emitted and dropped once the
+    watermark passes ``last_ts + gap``), so state is O(active users),
+    not O(stream length).
+
+    Boundary note: ``session_window`` extends a session while the next
+    event is STRICTLY within ``gap`` of the previous one, the batch
+    sessionizer while the gap is ``<= gap_seconds``; at-exactly-gap
+    events differ. Sessions still open at end-of-input (within ``gap``
+    of the max watermarked event time) are NOT emitted in append mode —
+    the standard streaming contract; they emit when later input closes
+    them.
+    """
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .select("user_id", "n_events", "start_ts", "end_ts")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

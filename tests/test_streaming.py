@@ -163,3 +163,54 @@ def test_stream_build_graph_incremental_equals_batch(spark, tmp_warehouse):
     finally:
         shutil.rmtree(single, ignore_errors=True)
         corpus.unpersist()
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_warehouse):
+    """session_window stream == batch gap-sessionizer on closed sessions."""
+    import datetime as dt
+
+    from financial_knowledge_graphs_spark.streaming.incremental import (
+        stream_sessionize_events,
+    )
+    from financial_knowledge_graphs_spark.operators.timeseries import sessionize
+
+    ev_dir = os.path.join(tmp_warehouse, "sess_events")
+    out_dir = os.path.join(tmp_warehouse, "sess_out")
+    cp_dir = os.path.join(tmp_warehouse, "sess_cp")
+
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        # two sessions per user: bursts 10 min apart, separated by 7 h
+        for burst_start in (0, 7 * 3600):
+            for k in range(3):
+                rows.append((eid, base + dt.timedelta(seconds=burst_start + 600 * k),
+                             user, "click", 1.0, "{}"))
+                eid += 1
+    # far-future flush row so the watermark closes every real session
+    rows.append((eid, base + dt.timedelta(days=30), 99, "flush", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev.write.mode("append").parquet(ev_dir)
+
+    q = stream_sessionize_events(spark, ev_dir, out_dir, cp_dir, gap="6 hours")
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["start_ts"], r["end_ts"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = (
+        sessionize(ev.filter(F.col("user_id") != 99), "user_id", "ts", 21600, "event_id")
+        .groupBy("user_id", "session_num")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    want = {
+        (r["user_id"], r["start_ts"], r["end_ts"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 4  # 2 users x 2 closed sessions (flush row's own session stays open)
