@@ -44,6 +44,7 @@ def asof_join(
     right_time: str,
     payload: list[str],
     tiebreak: str,
+    hub_chunk_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: each ``left`` row gains the ``payload``
     columns of the ``right`` row with the greatest ``right_time`` <=
@@ -55,6 +56,15 @@ def asof_join(
     ``on`` columns must exist on both sides with identical names; all
     other column names must be disjoint. One shuffle, no row explosion
     — see the module docstring.
+
+    ``hub_chunk_seconds`` is the hub-key skew escape hatch: a plain
+    window puts one key's ENTIRE timeline in one task, so a hub key
+    (a major bank quoted 10^9 times) serializes. With it set, the
+    window partitions by (key, time-chunk) — per-task work is bounded
+    by one chunk — and a second, tiny pass (one row per non-empty
+    (key, chunk)) carries each chunk's last payload forward as the
+    seed for later chunks. Result is row-identical to the plain path
+    (pinned by test); cost is one extra small shuffle + a join.
     """
     r = right.select(
         *on,
@@ -65,15 +75,46 @@ def asof_join(
     )
     l = left.withColumn(_T, F.col(left_time)).withColumn(_SRC, F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
+    part = list(on)
+    if hub_chunk_seconds is not None:
+        merged = merged.withColumn(
+            "__asof_chunk",
+            F.floor(F.col(_T).cast("timestamp").cast("double")
+                    / float(hub_chunk_seconds)).cast("long"),
+        )
+        part = part + ["__asof_chunk"]
     # right rows sort BEFORE left rows at equal time (_SRC 0 < 1), so a
     # right row at exactly t is visible to a left row at t; among right
     # rows at equal time the largest tiebreak sorts last and wins last()
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part)
         .orderBy(F.col(_T).asc(), F.col(_SRC).asc(), F.col(_TIE).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+    if hub_chunk_seconds is not None:
+        # chunk summary: ONE row per non-empty (key, chunk) holding the
+        # chunk's last right payload — tiny relative to the data, so the
+        # carry window over it (per key, ordered by chunk) is skew-free
+        chunk_last = (
+            merged.filter(F.col(_SRC) == 0)
+            .groupBy(*on, "__asof_chunk")
+            .agg(F.max_by(_PAY, F.struct(F.col(_T), F.col(_TIE))).alias("__cl"))
+        )
+        # spine = EVERY (key, chunk) in the data (a chunk holding only
+        # left rows still needs the carry from earlier chunks)
+        spine = merged.select(*on, "__asof_chunk").distinct()
+        cw = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__asof_chunk").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = spine.join(chunk_last, on=part, how="left").select(
+            *on, "__asof_chunk", F.last("__cl", ignorenulls=True).over(cw).alias("__seed")
+        )
+        carried = carried.join(
+            seeds, on=part, how="left"
+        ).withColumn(_PAY, F.coalesce(_PAY, F.col("__seed"))).drop("__seed", "__asof_chunk")
     out = carried.filter(F.col(_SRC) == 1)
     for c in payload:
         out = out.withColumn(c, F.col(_PAY)[c])

@@ -110,3 +110,34 @@ def test_sessionize_single_shuffle_plan(spark):
     )
     plan = sessionize(ev, "user", "ts", 60, "eid")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_hub_chunked_equals_plain(spark):
+    # hub key 0 with dense quotes+trades, sparse key 1, plus chunks that
+    # contain only trades (seed must carry across empty-quote chunks)
+    quotes = spark.range(200).select(
+        (F.col("id") % 2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 37 % 3000).alias("qt"),
+        F.col("id").alias("qid"),
+        (F.col("id") * 1.5).alias("px"),
+    ).filter(
+        # kill all quotes in [1000, 2000): two whole 500-s chunks empty
+        ~((F.col("qt").cast("double") >= 1000) & (F.col("qt").cast("double") < 2000))
+    )
+    trades = spark.range(300).select(
+        (F.col("id") % 2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 23 % 3100).alias("tt"),
+        F.col("id").alias("tid"),
+    )
+    kw = dict(on=["key"], left_time="tt", right_time="qt",
+              payload=["qid", "px"], tiebreak="qid")
+    plain = {
+        r["tid"]: (r["qid"], r["px"])
+        for r in asof_join(trades, quotes, **kw).collect()
+    }
+    chunked = {
+        r["tid"]: (r["qid"], r["px"])
+        for r in asof_join(trades, quotes, hub_chunk_seconds=500, **kw).collect()
+    }
+    assert chunked == plain
+    assert len(plain) == 300
