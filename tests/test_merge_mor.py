@@ -253,3 +253,33 @@ def test_mor_merge_read_does_not_resurrect(spark, tmp_warehouse):
     snap = _live(t)
     assert not snap["deletes"]
     assert _content(spark, t) == {("a", 10), ("b", 20), ("c", 3)}
+
+
+def test_mor_rebucket_folds_pending_deletes(spark, tmp_warehouse):
+    """rebucket_table on a table with pending equality deletes must fold
+    them in (reads resolve through _snapshot_scan) and commit a clean,
+    delete-free state in the new layout."""
+    t = os.path.join(tmp_warehouse, "mor_rebucket")
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", i) for i in range(40)]), ["k"], 4)
+    # MOR update of 10 keys + MOR pure delete of 5 others
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", 1000 + i) for i in range(10)]),
+        ["k"], 4, mode="mor")
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame([], "k string, v long"),
+        ["k"], 4,
+        deletes=spark.createDataFrame([(f"k{i}",) for i in range(10, 15)], "k string"),
+        mode="mor")
+    assert _live(t).get("deletes"), "precondition: pending delete files"
+    want = _content(spark, t)
+    assert ("k0", 1000) in want and ("k12", 12) not in want
+
+    materialize.rebucket_table(spark, t, ["k"], 16)
+    st = _live(t)
+    assert not st.get("deletes"), "rebucket must clear MOR delete state"
+    assert st["n_buckets"] == 16
+    assert _content(spark, t) == want
+    # point lookup through the new layout still correct
+    got = materialize.lookup_by_key(spark, t, ["k"], ("k3",)).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k3", 1003)]
