@@ -247,6 +247,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (exact rational idf — see operator
+    docstring for why the oracle-checked form avoids log)."""
+    from financial_knowledge_graphs_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 row 16: keep-first content dedup — surviving rows
     (deterministic min-id per content digest), the prep-stage form."""
@@ -852,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_neardup_clusters": q_neardup_clusters,
@@ -1396,6 +1405,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_transform(generate_series(1, len(toks)-2), i -> md5(array_to_string(toks[i:i+2], ' ')))
                         ELSE [md5(array_to_string(toks, ' '))] END) AS shingle_fp
             FROM t
+        """,
+        "q_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                       (tf.tf * (nd.n + 1.0)) / (dfreq.df + 1.0) AS score
+                FROM tf JOIN dfreq USING (term), nd
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
         """,
         "q_winnow_fingerprint": f"""
             WITH t AS (SELECT doc_id, {_TOKENS.format(col='lower(trim(text))')} AS toks FROM documents),

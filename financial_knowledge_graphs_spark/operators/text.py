@@ -165,3 +165,44 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     return docs.select(
         "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
     )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    k: int = 3) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic quality /
+    topicality feature for training-data curation.
+
+    idf is the exact rational ``(N+1)/(df+1)`` (no log): tf, df and N
+    are integers and the score is one IEEE multiply + divide, so it is
+    bit-identical across engines and the per-doc rank order (score
+    DESC, term ASC) is deterministic — which is what makes an exact
+    cross-engine oracle possible. A log-idf variant is ``F.log`` on the
+    same frame, but libm last-ulp differences between engines make rank
+    ties unstable, so the oracle-checked form stays rational.
+
+    Plan shape at scale: explode → hash agg tf per (doc, term) → hash
+    agg df per term (vocabulary-sized, broadcast back onto tf) →
+    per-doc top-k window. The only big shuffle is the tf agg, keyed by
+    (doc_id, term) — no hot keys by construction.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != F.lit(""),
+    )
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select("doc_id").distinct().count()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score",
+        (F.col("tf").cast("double") * F.lit(float(n_docs + 1)))
+        / (F.col("df") + F.lit(1)).cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

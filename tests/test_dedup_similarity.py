@@ -206,3 +206,29 @@ def test_neardup_clusters_collapse_and_keeper(spark, docs):
     out2 = {r["doc_id"]: r["cluster_id"]
             for r in dedup.near_dup_clusters(docs, chain).collect()}
     assert [out2[k] for k in ("1", "2", "3")] == ["1", "1", "1"]
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple apple banana common"),
+            ("d2", "banana cherry common"),
+            ("d3", "cherry cherry cherry common"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # N=3; score = tf*4/(df+1). d1: apple 2*4/2=4.0 > banana 1*4/3 > common 1*4/4
+    assert got[("d1", 1)] == ("apple", 2, 1)
+    assert got[("d1", 2)] == ("banana", 1, 2)
+    # d3: cherry 3*4/3=4.0 > common 1.0
+    assert got[("d3", 1)] == ("cherry", 3, 2)
+    assert got[("d3", 2)] == ("common", 1, 3)
+    # d2: banana and cherry tie at 4/3 -> term ASC breaks: banana first
+    assert got[("d2", 1)] == ("banana", 1, 2)
+    assert got[("d2", 2)] == ("cherry", 1, 2)
