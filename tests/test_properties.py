@@ -116,3 +116,79 @@ def test_connected_components_random_vs_union_find(spark):
             for r in connected_components(ndf, edf, driver_threshold=threshold).collect()
         }
         assert got == want, f"threshold={threshold}"
+
+
+def test_asof_join_model_based(spark):
+    """Randomized as-of join == a pure-Python per-key scan model, for both
+    the plain and the hub-chunked path (chunk boundaries landing anywhere
+    relative to the data)."""
+    import datetime as dt
+
+    from financial_knowledge_graphs_spark.operators.timeseries import asof_join
+
+    rng = random.Random(4242)
+    base = dt.datetime(2026, 1, 1)
+    rights = [
+        (rng.randrange(4), base + dt.timedelta(seconds=rng.randrange(0, 5000)),
+         rid, float(rng.randrange(100)))
+        for rid in range(120)
+    ]
+    lefts = [
+        (rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(0, 5200)), lid)
+        for lid in range(200)
+    ]
+    r_df = spark.createDataFrame(rights, "key long, qt timestamp, qid long, px double")
+    l_df = spark.createDataFrame(lefts, "key long, tt timestamp, tid long")
+
+    # model: per left row, right row with max (qt, qid) among qt <= tt
+    def model(key, tt):
+        cand = [(qt, qid, px) for (k, qt, qid, px) in rights if k == key and qt <= tt]
+        if not cand:
+            return (None, None)
+        qt, qid, px = max(cand)
+        return (qid, px)
+
+    want = {tid: model(key, tt) for (key, tt, tid) in lefts}
+    kw = dict(on=["key"], left_time="tt", right_time="qt",
+              payload=["qid", "px"], tiebreak="qid")
+    for chunk in (None, 700):
+        got = {
+            r["tid"]: (r["qid"], r["px"])
+            for r in asof_join(l_df, r_df, hub_chunk_seconds=chunk, **kw).collect()
+        }
+        assert got == want, f"chunk={chunk}"
+
+
+def test_sessionize_model_based(spark):
+    """Randomized sessionization == a pure-Python per-key gap scan."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from financial_knowledge_graphs_spark.operators.timeseries import sessionize
+
+    rng = random.Random(999)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (rng.randrange(6), base + dt.timedelta(seconds=rng.randrange(0, 100000)), eid)
+        for eid in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, eid long")
+    gap = 1800.0
+
+    per_key = defaultdict(list)
+    for (u, ts, eid) in rows:
+        per_key[u].append((ts, eid))
+    want = {}
+    for u, evs in per_key.items():
+        evs.sort()
+        sess, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                sess += 1
+            want[eid] = sess
+            prev = ts
+    got = {
+        r["eid"]: r["session_num"]
+        for r in sessionize(df, "user", "ts", gap, "eid").collect()
+    }
+    assert got == want
