@@ -382,6 +382,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced seeded sample: exactly 5 orders per order status,
+    ranked by content hash within each stratum (engine- and
+    partitioning-independent)."""
+    from financial_knowledge_graphs_spark.operators.prep import stratified_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey")
+    return stratified_sample(
+        o, "o_orderstatus", 5, seed=42, id_col="o_orderkey")
+
+
 def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 row 17: resume anti-join pattern (customers w/o orders)."""
     c = _t(spark, sf_dir, "customer")
@@ -870,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ivf_ann": q_ivf_ann,
         "q_anti_join_resume": q_anti_join_resume,
+        "q_stratified_sample": q_stratified_sample,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q_status_counts": q_status_counts,
         "q_pricing_summary": q_pricing_summary,
@@ -1338,6 +1351,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY r, doc_id
             LIMIT 50
+        """,
+        "q_stratified_sample": """
+            SELECT o_orderkey, o_orderstatus, o_custkey
+            FROM (
+                SELECT o_orderkey, o_orderstatus, o_custkey,
+                       row_number() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY md5('42:' || o_orderkey::VARCHAR) ASC,
+                                    o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 5
         """,
         "q_token_histogram": f"""
             SELECT (floor(tc / 50) * 50)::BIGINT AS bin_lo, count(*) AS n_docs

@@ -125,6 +125,28 @@ def seeded_sample(docs: DataFrame, n: int, seed: int = 42,
     )
 
 
+def stratified_sample(docs: DataFrame, strata_col: str, n_per_stratum: int,
+                      seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Exactly-n-per-group seeded sample — the class-balanced variant of
+    ``seeded_sample`` a training pipeline uses to cap dominant classes
+    (language, source, label) without starving rare ones.
+
+    Same content-hash determinism argument: rank by md5(seed:id) WITHIN
+    each stratum (window row_number), identical on any partitioning and
+    in any engine. One shuffle keyed by the stratum; a hub stratum's
+    sort is bounded by that stratum's rows — for pathological strata,
+    pre-filter with a hash-prefix predicate before ranking."""
+    from pyspark.sql import Window
+
+    r = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(r.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def resume_anti_join(docs: DataFrame, processed: DataFrame,
                      id_col: str = "doc_id") -> DataFrame:
     """Drop docs already processed — the reference's checkpoint skip

@@ -110,3 +110,22 @@ def test_span_signature_distinguishes_null_positions(spark):
     sigs = {r["doc_id"]: r["sig"] for r in
             df.select("doc_id", prep.span_signature().alias("sig")).collect()}
     assert sigs["a"] != sigs["b"]
+
+
+def test_stratified_sample_exact_per_group_and_stable(spark):
+    from financial_knowledge_graphs_spark.operators.prep import stratified_sample
+
+    rows = [(f"d{i}", "a" if i % 3 else "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, cls string")
+    got = stratified_sample(df, "cls", 4, seed=7)
+    counts = {r["cls"]: r["n"] for r in
+              got.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4}
+    # deterministic under repartitioning
+    ids = sorted(r["doc_id"] for r in got.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(df.repartition(13), "cls", 4, seed=7).collect())
+    assert ids == ids2
+    # undersized stratum returns all of it
+    tiny = stratified_sample(df.filter("cls = 'b'").limit(2), "cls", 4)
+    assert tiny.count() == 2
