@@ -490,6 +490,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling sum/mean/min/max per user timeline. The sum
+    runs in decimal (exact) — sliding double frames use engine-specific
+    add/retract accumulators and would not hash-match cross-engine."""
+    from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_agg(
+        e, "user_id", "ts", "value", 7, "event_id", prefix="roll"
+    ).select("event_id", "user_id", "roll_sum", "roll_mean", "roll_min", "roll_max")
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (nation → status → grand total) —
     Catalyst expands grouping sets into one pass with partial aggs."""
@@ -889,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
+        "q_rolling_agg": q_rolling_agg,
         "q_orders_join_agg": q_orders_join_agg,
         "q_rollup_revenue": q_rollup_revenue,
         "q_salted_join": q_salted_join,
@@ -1633,6 +1646,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_num, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM sess GROUP BY user_id, session_num
+        """,
+        "q_rolling_agg": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS roll_sum,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                       / CAST(count(*) OVER w AS DOUBLE) AS roll_mean,
+                   min(value) OVER w AS roll_min,
+                   max(value) OVER w AS roll_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "q_orders_join_agg": """
             SELECT n_name AS nation, count(*) AS n_orders,

@@ -148,3 +148,44 @@ def sessionize(
     return events.withColumn(
         session_col, F.sum(brk).over(run).cast("long")
     )
+
+
+def rolling_agg(
+    events: DataFrame,
+    key: str,
+    time: str,
+    value: str,
+    n_rows: int,
+    tiebreak: str,
+    prefix: str = "rolling",
+) -> DataFrame:
+    """Trailing n-row rolling sum/mean/min/max of ``value`` per ``key``
+    timeline — the standard smoothing / momentum feature pass.
+
+    The sum runs in DECIMAL(28,6): sliding double frames are computed by
+    add/retract accumulators whose FP error depends on the engine, so a
+    double rolling sum is NOT reproducible cross-engine (or even across
+    plans); the decimal sum is exact, and the mean divides two exact
+    quantities in double (IEEE — bit-stable). One shuffle; all four
+    aggregates share the single (key, time) window sort.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    dec = F.col(value).cast("decimal(28,6)")
+    s = F.sum(dec).over(w)
+    n = F.count(F.lit(1)).over(w)
+    # mean = double(exact sum) / double(n): one IEEE division of exact
+    # inputs — decimal/decimal division would round at engine-specific
+    # result scales and diverge cross-engine
+    return events.withColumn(
+        f"{prefix}_sum", s.cast("double")
+    ).withColumn(
+        f"{prefix}_mean", s.cast("double") / n.cast("double")
+    ).withColumn(
+        f"{prefix}_min", F.min(F.col(value)).over(w)
+    ).withColumn(
+        f"{prefix}_max", F.max(F.col(value)).over(w)
+    )

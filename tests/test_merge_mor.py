@@ -283,3 +283,32 @@ def test_mor_rebucket_folds_pending_deletes(spark, tmp_warehouse):
     # point lookup through the new layout still correct
     got = materialize.lookup_by_key(spark, t, ["k"], ("k3",)).collect()
     assert [(r["k"], r["v"]) for r in got] == [("k3", 1003)]
+
+
+def test_mor_concurrent_writers_no_lost_deletes(spark, tmp_warehouse):
+    """Two writers MOR-updating DISJOINT key ranges of the same table
+    concurrently: CAS + retry must preserve BOTH writers' equality-delete
+    and data dirs — a lost delete file would resurrect the pre-update row
+    next to its replacement (duplicate keys)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = os.path.join(tmp_warehouse, "mor_conc")
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", 0) for i in range(40)]), ["k"], 4)
+
+    def w(lo, hi, val):
+        rows = [(f"k{i}", val) for i in range(lo, hi)]
+        materialize.merge_upsert(spark, t, _mk(spark, rows), ["k"], 4, mode="mor")
+
+    for rnd in range(1, 4):
+        with ThreadPoolExecutor(max_workers=2) as tp:
+            fa = tp.submit(w, 0, 20, rnd * 100)
+            fb = tp.submit(w, 20, 40, rnd * 1000)
+            fa.result()
+            fb.result()
+        rows = materialize.read_graph_table(spark, t).collect()
+        assert len(rows) == 40, f"round {rnd}: dup/lost rows ({len(rows)})"
+        got = {r["k"]: r["v"] for r in rows}
+        want = {f"k{i}": rnd * 100 for i in range(20)}
+        want.update({f"k{i}": rnd * 1000 for i in range(20, 40)})
+        assert got == want, f"round {rnd}"
