@@ -141,3 +141,48 @@ def test_asof_join_hub_chunked_equals_plain(spark):
     }
     assert chunked == plain
     assert len(plain) == 300
+
+
+def test_rolling_agg_model_equivalence(spark):
+    """rolling_agg vs a pure-Python trailing-window model on a randomized
+    multi-key timeline with timestamp ties (tiebreak column decides order)."""
+    import random
+
+    from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
+
+    rng = random.Random("rolling-model:1")
+    rows = [
+        (i, rng.randrange(3), rng.randrange(20), round(rng.uniform(-50, 50), 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "eid long, key long, t long, v double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t")))
+    got = {
+        r["eid"]: (r["r_sum"], r["r_mean"], r["r_min"], r["r_max"])
+        for r in rolling_agg(df, "key", "ts", "v", 5, "eid", prefix="r").collect()
+    }
+    by_key = {}
+    for eid, key, t, v in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        win = by_key.setdefault(key, [])
+        win.append((eid, v))
+        tail = [x[1] for x in win[-5:]]
+        s = sum(tail)
+        want = (s, s / len(tail), min(tail), max(tail))
+        g = got[eid]
+        assert abs(g[0] - want[0]) < 1e-9 and abs(g[1] - want[1]) < 1e-9
+        assert g[2] == want[2] and g[3] == want[3]
+    assert len(got) == 200
+
+
+def test_rolling_agg_single_shuffle_plan(spark):
+    from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
+
+    ev = spark.range(100).select(
+        (F.col("id") % 5).alias("key"),
+        F.timestamp_seconds(F.col("id") * 17).alias("ts"),
+        F.col("id").alias("eid"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    out = rolling_agg(ev, "key", "ts", "v", 7, "eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
