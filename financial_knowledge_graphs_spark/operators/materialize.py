@@ -2081,3 +2081,98 @@ def compact_table(spark: SparkSession, table_path: str,
                      deletes=new_deletes, dir_seq=new_dir_seq,
                      delete_keys=state.get("delete_keys") if new_deletes else None)
     _gc_versions(table_path)
+
+
+def cluster_table(spark: SparkSession, table_path: str, sort_by: str,
+                  files_per_bucket: int = 4) -> None:
+    """Sort-order clustering: rewrite every bucket's rows range-split on
+    ``sort_by`` into up to ``files_per_bucket`` single-file version dirs,
+    each sorted within itself — the Iceberg ``rewrite_data_files`` with a
+    sort order. Buckets still hash on the MERGE keys (point lookups keep
+    pruning); what changes is that each new dir covers a NARROW ``sort_by``
+    range, so its recorded footer [min, max] bounds are tight and
+    ``read_graph_table_pruned`` range scans skip whole dirs instead of
+    reading everything. Row content is unchanged; pending merge-on-read
+    deletes are folded away by the rewrite (same resolved read as
+    compaction); time travel keeps the pre-cluster snapshots until
+    retention expires them.
+
+    Offline maintenance op, CAS-committed like ``compact_table``: a merge
+    landing underneath raises CommitConflictError — rerun (content is
+    unchanged by clustering, nothing is lost by deferring)."""
+    import os
+    import shutil
+    import uuid
+
+    state = _table_state(table_path)
+    if not state:
+        return
+    schema_cols = {
+        f["name"] for f in (state.get("schema") or {}).get("fields", [])
+    }
+    if schema_cols and sort_by not in schema_cols:
+        raise ValueError(f"cluster column {sort_by!r} not in table schema")
+    base_sid = state["snapshot_id"]
+    n_buckets = state.get("n_buckets")
+    k = max(1, files_per_bucket)
+    staging = f"{table_path}__staging_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(staging, ignore_errors=True)
+    new_map: dict[str, list] = {}
+    new_stats: dict[str, dict] = {}
+    new_dir_stats: dict[str, dict] = {}
+    new_dir_seq: dict[str, int | None] = {}
+    for b in state["buckets"]:
+        # resolved read: folds the bucket's pending equality deletes and
+        # reads mixed-schema files through the snapshot schema
+        rows = _snapshot_scan(spark, table_path, state, buckets=[b],
+                              strict=False)
+        if rows is None:
+            continue
+        out = os.path.join(staging, b)
+        (
+            rows.repartitionByRange(k, F.col(sort_by))
+            .sortWithinPartitions(sort_by)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(
+            f for f in os.listdir(out)
+            if f.endswith(".parquet") and
+            os.path.getsize(os.path.join(out, f)) > 0 and
+            not f.startswith(("_", "."))
+        )
+        bdir = os.path.join(table_path, b)
+        os.makedirs(bdir, exist_ok=True)
+        dirs: list[str] = []
+        brows, bbytes, bfiles = 0, 0, 0
+        for i, p in enumerate(parts):
+            sub = os.path.join(staging, f"{b}__chunk{i}")
+            os.makedirs(sub)
+            os.rename(os.path.join(out, p), os.path.join(sub, p))
+            nxt = _install_version(sub, bdir)
+            vdir = os.path.join(bdir, nxt)
+            fs = _bucket_file_stats(vdir)
+            if fs.get("rows", 0) == 0:
+                # empty range chunk (fewer distinct values than k): drop it
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            dirs.append(nxt)
+            brows += fs.get("rows", 0)
+            bbytes += fs.get("bytes", 0)
+            bfiles += fs.get("files", 0)
+            new_dir_stats[f"{b}/{nxt}"] = _dir_col_stats(vdir)
+            new_dir_seq[f"{b}/{nxt}"] = None  # stamped with the commit sid
+        if dirs:
+            new_map[b] = dirs
+            new_stats[b] = {"rows": brows, "bytes": bbytes, "files": bfiles}
+    shutil.rmtree(staging, ignore_errors=True)
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(state["schema"]) if state.get("schema")
+        else _read_schema(table_path)
+    )
+    _commit_snapshot(table_path, new_map, n_buckets, schema, new_stats,
+                     base_sid=base_sid, dir_stats=new_dir_stats,
+                     deletes={}, dir_seq=new_dir_seq, delete_keys=None)
+    _gc_versions(table_path)

@@ -12,6 +12,8 @@ Commands:
   snapshots                       list committed snapshots (id, ts, rows)
   stats                           manifest-level table stats, no scan
   compact [--max-files N]         fold over-full buckets (default to 1 file)
+  cluster --by COL [--files N]    sort-order rewrite: range-split each
+                                  bucket on COL so manifest bounds prune
   rebucket --keys k1,k2 --n N     grow/shrink the hash layout online
   rollback --snapshot SID         restore a retained snapshot (new commit)
   gc                              expire old snapshots + orphan staging
@@ -45,6 +47,9 @@ def main() -> None:
     sub.add_parser("stats")
     p = sub.add_parser("compact")
     p.add_argument("--max-files", type=int, default=1)
+    p = sub.add_parser("cluster")
+    p.add_argument("--by", required=True, help="sort/cluster column")
+    p.add_argument("--files", type=int, default=4, help="range chunks per bucket")
     p = sub.add_parser("rebucket")
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--n", type=int, required=True)
@@ -90,6 +95,10 @@ def main() -> None:
             after = m.table_stats(t)
             print(json.dumps({"files_before": (before or {}).get("files"),
                               "files_after": (after or {}).get("files")}))
+        elif args.cmd == "cluster":
+            m.cluster_table(spark, t, args.by, files_per_bucket=args.files)
+            print(json.dumps({"clustered_by": args.by,
+                              "snapshot": m.snapshots(t)[-1]["snapshot_id"]}))
         elif args.cmd == "rebucket":
             m.rebucket_table(spark, t, args.keys.split(","), args.n)
             print(json.dumps({"n_buckets": args.n,

@@ -717,3 +717,59 @@ def test_table_maintenance_cli_metadata_commands(spark, tmp_warehouse):
 
     gc = run("gc")[0]
     assert gc["gc"] == "done" and 3 in gc["snapshots"]
+
+
+def test_cluster_table_tightens_bounds_and_prunes(spark, tmp_warehouse):
+    """Sort-order clustering: after cluster_table, a narrow range scan
+    opens strictly fewer version dirs than the table holds, content is
+    unchanged, pre-cluster snapshots stay time-travelable, and pending MOR
+    deletes are folded away."""
+    t = os.path.join(tmp_warehouse, "clustered")
+    # values interleaved across merges so every pre-cluster dir spans the
+    # whole range (bounds useless for pruning)
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", i) for i in range(0, 200, 2)]),
+        ["k"], n_buckets=2)
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [(f"k{i}", i) for i in range(1, 200, 2)]),
+        ["k"], n_buckets=2)
+    # a MOR update leaves pending equality deletes for clustering to fold
+    materialize.merge_upsert(
+        spark, t, _mk(spark, [("k0", 1000)]), ["k"], n_buckets=2, mode="mor")
+    before = {(r["k"], r["v"])
+              for r in materialize.read_graph_table(spark, t).collect()}
+    pre_sid = materialize.snapshots(t)[-1]["snapshot_id"]
+
+    materialize.cluster_table(spark, t, "v", files_per_bucket=4)
+
+    after_df = materialize.read_graph_table(spark, t)
+    assert {(r["k"], r["v"]) for r in after_df.collect()} == before
+    st = materialize._table_state(t)
+    assert not st.get("deletes"), "clustering must fold MOR deletes"
+    all_dirs = {(b, v) for b, vs in st["buckets"].items()
+                for v in materialize._as_dirs(vs)}
+    assert len(all_dirs) >= 6  # 2 buckets x ~4 range chunks
+
+    narrow = materialize.read_graph_table_pruned(spark, t, {"v": (10, 30)})
+    got = {(r["k"], r["v"]) for r in narrow.collect()}
+    assert got == {(k, v) for k, v in before if 10 <= v <= 30}
+    opened = _dirs_of(narrow.inputFiles())
+    assert opened < all_dirs, "narrow range scan should skip dirs"
+    assert len(opened) <= len(all_dirs) // 2
+
+    # time travel to the pre-cluster snapshot still works
+    tt = materialize.read_graph_table(spark, t, snapshot=pre_sid)
+    assert {(r["k"], r["v"]) for r in tt.collect()} == before
+
+    # point lookup through the clustered layout
+    got = materialize.lookup_by_key(spark, t, ["k"], ("k0",)).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k0", 1000)]
+
+
+def test_cluster_table_rejects_unknown_column(spark, tmp_warehouse):
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "clustered_bad")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
+    with pytest.raises(ValueError):
+        materialize.cluster_table(spark, t, "nope")
