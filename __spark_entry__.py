@@ -211,6 +211,16 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 8-token
+    overlap) — the context-packing pass of a training-data pipeline;
+    shuffle-free map stage (chunks inherit the scan partitioning)."""
+    from financial_knowledge_graphs_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over a corpus with KNOWN duplicates: the testdata
     documents carry none at small SF, so the query unions in a deterministic
@@ -876,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_dist": q_token_dist,
         "q_token_hist_ref": q_token_hist_ref,
         "q_bpe_token_count": q_bpe_token_count,
+        "q_chunk_documents": q_chunk_documents,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep_first": q_dedup_keep_first,
         "q_seeded_sample": q_seeded_sample,
@@ -1337,6 +1348,22 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))::BIGINT AS bpe_tokens
             FROM documents
+        """,
+        "q_chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS.format(col='text')} AS t FROM documents
+            ), sized AS (
+              SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            ), starts AS (
+              SELECT doc_id, t, n, unnest(range(0, greatest(n - 8, 1), 56)) AS s
+              FROM sized
+            )
+            SELECT doc_id,
+                   (s // 56)::BIGINT AS chunk_id,
+                   s::BIGINT AS start_token,
+                   least(64, n - s)::BIGINT AS n_tokens,
+                   array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+            FROM starts
         """,
         "q_dedup_exact": """
             WITH base AS (SELECT doc_id::VARCHAR AS doc_id, text FROM documents),

@@ -206,3 +206,50 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window packing pass of an LLM training-data pipeline. One row
+    per (doc, chunk): chunk_id, start_token, n_tokens, chunk_text.
+
+    Chunk starts step by ``chunk_tokens - overlap``; a start is emitted
+    only while it adds at least one new token (no chunk is a suffix of its
+    predecessor), and empty documents emit nothing. Pure Catalyst
+    (split → sequence → explode → slice/array_join, whole-stage codegen):
+    a shuffle-FREE map stage — chunks inherit the input partitioning, so
+    at 100 TB this pipelines with the parquet scan and never exchanges.
+    Tokens re-join with single spaces (engines agree bit-exactly; original
+    whitespace is not preserved, same as any tokenizing chunker).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    d = (
+        docs.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    # largest start emitted: greatest multiple of step < n - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(step),
+    )
+    d = d.withColumn("__s", F.explode(starts))
+    return d.select(
+        F.col(id_col),
+        (F.col("__s") / step).cast("long").alias("chunk_id"),
+        F.col("__s").cast("long").alias("start_token"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__s"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__s") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

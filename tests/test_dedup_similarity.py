@@ -232,3 +232,63 @@ def test_tfidf_top_terms_hand_checked(spark):
     # d2: banana and cherry tie at 4/3 -> term ASC breaks: banana first
     assert got[("d2", 1)] == ("banana", 1, 2)
     assert got[("d2", 2)] == ("cherry", 1, 2)
+
+
+def test_chunk_documents_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 toks, N=4 K=1 -> 0,3,6
+         (2, "a b"),                                  # short: one chunk
+         (3, "   "),                                  # empty: no rows
+         (4, "x\n y\tz")],                            # mixed whitespace
+        "doc_id long, text string")
+    got = [tuple(r) for r in chunk_documents(df, chunk_tokens=4, overlap=1)
+           .orderBy("doc_id", "chunk_id").collect()]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (2, 0, 0, 2, "a b"),
+        (4, 0, 0, 3, "x y z"),
+    ]
+
+
+def test_chunk_documents_full_coverage_property(spark):
+    """Every token index is covered by >=1 chunk; consecutive chunks share
+    exactly `overlap` tokens (except a short tail); no chunk is a suffix
+    of its predecessor."""
+    import random
+
+    from financial_knowledge_graphs_spark.operators.text import chunk_documents
+
+    rng = random.Random("chunk:1")
+    rows = [(i, " ".join(f"w{j}" for j in range(rng.randrange(1, 300))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_toks = {i: len(t.split()) for i, t in rows}
+    out = chunk_documents(df, chunk_tokens=64, overlap=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for c in chunks:
+            assert c["n_tokens"] >= 1
+            covered |= set(range(c["start_token"], c["start_token"] + c["n_tokens"]))
+            assert len(c["chunk_text"].split()) == c["n_tokens"]
+        assert covered == set(range(n_toks[d]))
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_token"] == a["start_token"] + 56
+            assert a["start_token"] + a["n_tokens"] < b["start_token"] + b["n_tokens"]
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    from financial_knowledge_graphs_spark.operators.text import chunk_documents
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                F.lit("a b c d e").alias("text"))
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
