@@ -1,0 +1,287 @@
+"""Streaming CDC source: tail a bucketed graph table's snapshot log.
+
+The Spark 4 Python Data Source API (`pyspark.sql.datasource`) lets the
+snapshot-commit log double as a STREAMING source — the Iceberg
+"streaming read" analog for the emulated tables:
+
+    spark.dataSource.register(GraphTableChangesDataSource)
+    df = (spark.readStream.format("graph_table_changes")
+          .option("path", table_path).load())
+
+Each micro-batch is the row-level delta between the last consumed snapshot
+and the live one — exactly ``materialize.read_table_changes(from, to)``
+semantics (the parity test asserts byte-equality against it):
+
+- offsets ARE snapshot ids (initial = 0, i.e. the whole table arrives as
+  inserts first; ``.option("from_snapshot", N)`` starts later); restart
+  resumes from the checkpointed snapshot id.
+- planning mirrors the batch CDC classification: a bucket whose version-dir
+  set only grew (append fast path) ships its NEW dirs at FILE granularity —
+  one InputPartition per version dir, zero old-data I/O; only rewritten /
+  MOR-touched buckets pay a per-bucket resolved diff.
+- ``read()`` runs on executors WITHOUT a SparkSession, so the per-partition
+  work is pyarrow/pandas: schema-evolved reads resolve missing columns to
+  NULL through the TO snapshot's schema, merge-on-read equality deletes
+  apply with the same strictly-lower-sequence rule as ``_snapshot_scan``,
+  and the rewrite diff is a multiset difference (updates surface as
+  delete(old) + insert(new)).
+
+Scale shape: per-version-dir insert partitions parallelize the common
+append-only tail arbitrarily wide; diff partitions are per-bucket (the same
+granularity Iceberg CDC pays for rewritten files). The driver never reads
+data files — planning is pure snapshot-metadata JSON.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_CHANGE_COL = "_change_type"
+
+
+# ---------------------------------------------------------------------------
+# executor-side helpers (no SparkSession; pyarrow/pandas only)
+# ---------------------------------------------------------------------------
+
+def _null_safe(v):
+    """Hashable null-safe encoding: None (incl. NaN) and values never collide."""
+    import pandas as pd
+
+    try:
+        if v is None or (pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False):
+            return (0,)
+    except (TypeError, ValueError):
+        pass
+    return (1, v)
+
+
+def _pdf_of(paths: list[str], fields: list[str]):
+    """Concatenate parquet dirs/files into one pandas frame resolved through
+    the target field list: missing columns (pre-schema-evolution files) read
+    as NULL, extras are dropped, order is canonical."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frames = []
+    for p in paths:
+        files = (
+            [os.path.join(p, f) for f in sorted(os.listdir(p))
+             if f.endswith(".parquet")]
+            if os.path.isdir(p) else [p]
+        )
+        for f in files:
+            frames.append(pq.read_table(f).to_pandas())
+    if not frames:
+        return pd.DataFrame({c: [] for c in fields})
+    df = pd.concat(frames, ignore_index=True)
+    if not fields:  # delete-key dirs: keep their own columns as-is
+        return df
+    for c in fields:
+        if c not in df.columns:
+            df[c] = None
+    return df[fields]
+
+
+def _rows_of(pdf, fields: list[str], types: dict[str, str]) -> list[tuple]:
+    """Canonical python tuples (null-safe NaN→None, numpy→python scalars)."""
+    import pandas as pd
+
+    out = []
+    for rec in pdf.itertuples(index=False, name=None):
+        row = []
+        for c, v in zip(fields, rec):
+            if v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v)):
+                row.append(None)
+                continue
+            t = types.get(c, "")
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                row.append(int(v))
+            elif t in ("double", "float"):
+                row.append(float(v))
+            elif t == "boolean":
+                row.append(bool(v))
+            elif t == "string":
+                row.append(str(v))
+            elif t.startswith("timestamp"):
+                row.append(v.to_pydatetime() if hasattr(v, "to_pydatetime") else v)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out
+
+
+def _resolved_rows(table_path: str, bucket: str, data: list, dels: list,
+                   fields: list[str], types: dict[str, str]) -> list[tuple]:
+    """The pandas twin of `_snapshot_scan`'s per-bucket resolved read:
+    equality deletes at sequence S hide matching rows in data dirs with
+    sequence < S only (same-commit re-inserts stay visible)."""
+    all_rows: list[tuple] = []
+    # hidden key sets per delete sequence, null-safe encoded
+    del_sets: list[tuple[int, list[str], set]] = []
+    for dname, dseq in dels:
+        dpdf = _pdf_of([os.path.join(table_path, bucket, dname)], [])
+        kcols = list(dpdf.columns)
+        keys = {
+            tuple(_null_safe(v) for v in rec)
+            for rec in dpdf.itertuples(index=False, name=None)
+        }
+        del_sets.append((int(dseq), kcols, keys))
+    for vdir, seq in data:
+        pdf = _pdf_of([os.path.join(table_path, bucket, vdir)], fields)
+        if len(pdf) == 0:
+            continue
+        mask = None
+        for dseq, kcols, keys in del_sets:
+            if dseq <= int(seq) or not keys:
+                continue
+            hit = pdf.apply(
+                lambda r: tuple(_null_safe(r[k]) for k in kcols) in keys,
+                axis=1,
+            )
+            mask = hit if mask is None else (mask | hit)
+        if mask is not None:
+            pdf = pdf[~mask]
+        all_rows.extend(_rows_of(pdf, fields, types))
+    return all_rows
+
+
+class _ChangesPartition(InputPartition):
+    def __init__(self, spec: dict):
+        self.spec = spec
+
+
+class _ChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, schema: StructType, start_sid: int):
+        self.table_path = table_path
+        self.schema = schema
+        self.start_sid = start_sid
+        self.fields = [f.name for f in schema.fields if f.name != _CHANGE_COL]
+        self.types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+
+    # -- offsets ------------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"sid": int(self.start_sid)}
+
+    def latestOffset(self) -> dict:
+        from ..operators import materialize as m
+
+        return {"sid": int(m._live_sid(self.table_path))}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning (driver; snapshot metadata only, no data I/O) --------------
+    def partitions(self, start: dict, end: dict):
+        from ..operators import materialize as m
+
+        a_sid, b_sid = int(start["sid"]), int(end["sid"])
+        if a_sid == b_sid:
+            return [_ChangesPartition({"kind": "noop"})]
+
+        def _snap(sid: int) -> dict:
+            if sid == 0:
+                return {"snapshot_id": 0, "buckets": {}}
+            meta = m._load_meta(self.table_path, sid)
+            if meta is None:
+                meta = next(
+                    (s for s in m._legacy_jsonl_snapshots(self.table_path)
+                     if s["snapshot_id"] == sid), None)
+            if meta is None:
+                raise ValueError(
+                    f"stream offset snapshot {sid} expired for "
+                    f"{self.table_path} (retention={m.SNAPSHOT_RETENTION})")
+            return meta
+
+        a, b = _snap(a_sid), _snap(b_sid)
+        dels_a = a.get("deletes") or {}
+        dels_b = b.get("deletes") or {}
+        seq_a = a.get("dir_seq") or {}
+        seq_b = b.get("dir_seq") or {}
+        parts: list[_ChangesPartition] = []
+        for bk in set(a["buckets"]) | set(b["buckets"]):
+            da = set(m._as_dirs(a["buckets"].get(bk, [])))
+            db = set(m._as_dirs(b["buckets"].get(bk, [])))
+            same_dels = dels_a.get(bk, []) == dels_b.get(bk, [])
+            if da == db and same_dels:
+                continue
+            if da <= db and same_dels:
+                for v in sorted(db - da):
+                    parts.append(_ChangesPartition(
+                        {"kind": "insert_dir", "bucket": bk, "dir": v}))
+            else:
+                parts.append(_ChangesPartition({
+                    "kind": "diff",
+                    "bucket": bk,
+                    "data_a": [[v, int(seq_a.get(f"{bk}/{v}", 0))]
+                               for v in sorted(da)],
+                    "data_b": [[v, int(seq_b.get(f"{bk}/{v}", 0))]
+                               for v in sorted(db)],
+                    "dels_a": [[d, int(s)] for d, s in dels_a.get(bk, [])],
+                    "dels_b": [[d, int(s)] for d, s in dels_b.get(bk, [])],
+                }))
+        return parts or [_ChangesPartition({"kind": "noop"})]
+
+    # -- executor-side read ---------------------------------------------------
+    def read(self, partition: _ChangesPartition) -> Iterator[tuple]:
+        spec = partition.spec
+        if spec["kind"] == "noop":
+            return
+        if spec["kind"] == "insert_dir":
+            p = os.path.join(self.table_path, spec["bucket"], spec["dir"])
+            pdf = _pdf_of([p], self.fields)
+            for row in _rows_of(pdf, self.fields, self.types):
+                yield row + ("insert",)
+            return
+        # rewritten / MOR bucket: resolved multiset diff
+        rows_a = _resolved_rows(self.table_path, spec["bucket"],
+                                spec["data_a"], spec["dels_a"],
+                                self.fields, self.types)
+        rows_b = _resolved_rows(self.table_path, spec["bucket"],
+                                spec["data_b"], spec["dels_b"],
+                                self.fields, self.types)
+        ca, cb = Counter(rows_a), Counter(rows_b)
+        for row in (cb - ca).elements():
+            yield row + ("insert",)
+        for row in (ca - cb).elements():
+            yield row + ("delete",)
+
+
+class GraphTableChangesDataSource(DataSource):
+    """`spark.readStream.format("graph_table_changes")` over a bucketed
+    snapshot table (see module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graph_table_changes"
+
+    def _table_path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("graph_table_changes requires .option('path', table)")
+        return p
+
+    def schema(self) -> StructType:
+        from ..operators import materialize as m
+
+        state = m._table_state(self._table_path())
+        if not state or not state.get("schema"):
+            raise ValueError(
+                f"{self._table_path()}: no committed snapshot with a recorded "
+                f"schema to stream from")
+        base = StructType.fromJson(state["schema"])
+        return base.add(_CHANGE_COL, "string", False)
+
+    def streamReader(self, schema: StructType) -> _ChangesStreamReader:
+        start = int(self.options.get("from_snapshot", 0))
+        return _ChangesStreamReader(self._table_path(), schema, start)
