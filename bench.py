@@ -110,6 +110,9 @@ def main() -> None:
         "q_orders_join_agg",
         "q_asof_join",
         "q_sessionize",
+        "q_rolling_agg",
+        "q_chunk_documents",
+        "q_tfidf_top_terms",
     ]:
         fn = qs.get(name)
         if fn is None:

@@ -285,3 +285,54 @@ class GraphTableChangesDataSource(DataSource):
     def streamReader(self, schema: StructType) -> _ChangesStreamReader:
         start = int(self.options.get("from_snapshot", 0))
         return _ChangesStreamReader(self._table_path(), schema, start)
+
+
+def stream_apply_changes(spark, src_table: str, dst_table: str,
+                         keys: list[str], n_buckets: int = 32,
+                         checkpoint: str | None = None, mode: str = "cow"):
+    """Table replication = the CDC stream applied: tail ``src_table``'s
+    snapshot log and merge each micro-batch's delta into ``dst_table``
+    (inserts/updates via the keyed MERGE, pure deletes via its WHEN MATCHED
+    DELETE branch). After the stream drains, the replica's resolved rows
+    equal the source's — the Iceberg "CDC apply" pattern for keeping a
+    downstream (differently bucketed, differently placed) copy fresh
+    without re-reading the source table.
+
+    Effectively-once: offsets are checkpointed snapshot ids, and the apply
+    is a keyed merge — replaying a batch upserts identical rows and
+    re-deletes absent keys, both no-ops. A key that is updated within one
+    batch arrives as delete(old)+insert(new); the insert's upsert subsumes
+    the delete, so only keys with NO surviving insert go to the delete
+    branch. Runs with Trigger.AvailableNow (drain-and-stop; call again to
+    catch up).
+
+    Retention bound (same as Iceberg incremental scans): the checkpointed
+    offset must still be a retained snapshot — a replica left unsynced for
+    more than SNAPSHOT_RETENTION source commits raises (the diff base's
+    metadata/dirs are GC'd); re-seed it from a full read instead."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from ..operators.materialize import merge_upsert
+
+    spark.dataSource.register(GraphTableChangesDataSource)
+
+    def _apply(batch, _bid) -> None:
+        if batch.isEmpty():
+            return
+        ins = batch.filter(F.col(_CHANGE_COL) == "insert").drop(_CHANGE_COL)
+        dks = (
+            batch.filter(F.col(_CHANGE_COL) == "delete")
+            .select(*keys).distinct()
+            .join(ins.select(*keys).distinct(), keys, "left_anti")
+        )
+        merge_upsert(spark, dst_table, ins, keys, n_buckets,
+                     deletes=None if dks.isEmpty() else dks, mode=mode)
+
+    reader = (
+        spark.readStream.format("graph_table_changes")
+        .option("path", src_table).load()
+    )
+    w = reader.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

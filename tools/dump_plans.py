@@ -27,6 +27,8 @@ PICK = [
     "q_embedding_neardup_lsh", # sign-LSH bucketed pair join
     "q_ann_topk",              # vector scoring + rank
     "kg_degree",               # agg over the bucketed graph table
+    "q_chunk_documents",       # shuffle-free chunking map stage
+    "q_rolling_agg",           # single-sort shared rolling window
 ]
 
 
