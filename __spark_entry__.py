@@ -512,6 +512,16 @@ def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "roll_sum", "roll_mean", "roll_min", "roll_max")
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnostics over events.user_id: top-20 keys by
+    count with share-of-table — distributed top-K (TakeOrderedAndProject),
+    no global sort."""
+    from financial_knowledge_graphs_spark.operators.skew import key_profile
+
+    e = _t(spark, sf_dir, "events")
+    return key_profile(e, ["user_id"], top_n=20)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (nation → status → grand total) —
     Catalyst expands grouping sets into one pass with partial aggs."""
@@ -695,6 +705,18 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ensure_fixture(spark, _kg_n_docs(sf_dir))
     t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
     return two_hop(t)
+
+
+def kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected entity co-mention graph (weight = shared docs) over the
+    materialized triples; per-doc self-join, bounded by per-doc entity
+    count — oracle = the same roll-up over GT triples."""
+    from financial_knowledge_graphs_spark.operators.graph import comention_edges
+    from financial_knowledge_graphs_spark.operators.materialize import read_graph_table
+
+    root = ensure_fixture(spark, _kg_n_docs(sf_dir))
+    t = read_graph_table(spark, os.path.join(root, "warehouse", "graph", "triples"))
+    return comention_edges(t).withColumn("weight", F.col("weight").cast("long"))
 
 
 def kg_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_rolling_agg": q_rolling_agg,
         "q_orders_join_agg": q_orders_join_agg,
+        "q_key_skew_profile": q_key_skew_profile,
         "q_rollup_revenue": q_rollup_revenue,
         "q_salted_join": q_salted_join,
         # KG pipeline (fixture corpus; rows-only)
@@ -928,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ops_metrics": kg_ops_metrics,
         "kg_degree": kg_degree,
         "kg_two_hop": kg_two_hop,
+        "kg_comention": kg_comention,
         "kg_neighbors": kg_neighbors,
         "kg_table_stats": kg_table_stats,
         "kg_changelog": kg_changelog,
@@ -1193,6 +1217,16 @@ def _kg_oracle_sql() -> dict[str, str]:
                             e2.pred AS p2, e2.obj AS c
             FROM {gt_t} e1 JOIN {gt_t} e2 ON e1.obj = e2.subj
             WHERE e1.subj <> e2.obj
+        """,
+        "kg_comention": f"""
+            WITH ent AS (
+              SELECT DISTINCT doc_id, subj AS name FROM {gt_t}
+              UNION
+              SELECT DISTINCT doc_id, obj AS name FROM {gt_t}
+            )
+            SELECT a.name AS src, b.name AS dst, count(*)::BIGINT AS weight
+            FROM ent a JOIN ent b ON a.doc_id = b.doc_id AND a.name < b.name
+            GROUP BY 1, 2
         """,
         "kg_neighbors": f"""
             WITH o AS (SELECT subj AS name, count(*) AS od FROM {gt_t} GROUP BY 1),
@@ -1692,6 +1726,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_key_skew_profile": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY 1
+            ), t AS (SELECT count(*)::BIGINT AS total FROM events)
+            SELECT user_id, n_rows,
+                   CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                   (row_number() OVER (ORDER BY n_rows DESC, user_id))::BIGINT AS rank
+            FROM c, t
+            ORDER BY n_rows DESC, user_id
+            LIMIT 20
         """,
         "q_rollup_revenue": """
             SELECT n_name AS nation, o_orderstatus,

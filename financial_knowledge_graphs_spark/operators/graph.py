@@ -297,3 +297,30 @@ def two_hop(triples: DataFrame) -> DataFrame:
         .select("a", "p1", "b", "p2", "c")
         .distinct()
     )
+
+
+def comention_edges(triples: DataFrame, min_weight: int = 1) -> DataFrame:
+    """Undirected co-mention edges: two canonical entities are linked when
+    they appear in the SAME document's triples; weight = # of shared docs.
+    The standard entity-association graph a KG analytics layer derives
+    (distinct from the typed predicate edges).
+
+    Shape: per-doc entity sets (one hash agg), then a per-doc self-join —
+    the blow-up is bounded by (entities per doc)^2, never by corpus size,
+    and the join key is doc_id (the natural partition key), so hub
+    ENTITIES cause no skew here; only a pathological single doc mentioning
+    everything would, and that is a data bug upstream's quality filter
+    catches. Output keyed (src < dst) so each pair appears once."""
+    ent = (
+        triples.select("doc_id", F.col("subj_name").alias("name"))
+        .unionByName(triples.select("doc_id", F.col("obj_name").alias("name")))
+        .distinct()
+    )
+    pairs = (
+        ent.alias("a")
+        .join(ent.alias("b"), "doc_id")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .groupBy(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pairs.filter(F.col("weight") >= min_weight) if min_weight > 1 else pairs

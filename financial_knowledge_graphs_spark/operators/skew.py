@@ -64,3 +64,30 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)
+
+
+def key_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Heavy-hitter diagnostics: the top-N join/group keys by row count,
+    with each key's share of the table — the measurement that decides
+    WHICH tier of the skew strategy above a key needs (broadcast? AQE?
+    explicit salt?) before a 100 TB join is launched.
+
+    Plan shape: one partial-agg groupBy (map-side combine), then a
+    DISTRIBUTED top-K (`orderBy().limit()` compiles to
+    TakeOrderedAndProject — per-partition heaps + a driver merge of N
+    rows, never a global sort), and a broadcast 1-row total for the share.
+    Deterministic under ties: rank orders by (count DESC, keys ASC)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)  # top_n rows only: trivial single task
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share",
+                    F.col("n_rows").cast("double") / F.col("__total").cast("double"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .drop("__total")
+    )

@@ -141,3 +141,22 @@ def test_wcc_raises_when_cap_too_small(spark):
     c = {r["name"]: r["component"] for r in
          graph.weakly_connected_components(e, max_iters=30).collect()}
     assert set(c.values()) == {"n00"}
+
+
+def test_comention_edges_hand_checked(spark):
+    rows = [
+        ("d1", "A", "owns", "B"),
+        ("d1", "B", "ceo_of", "C"),   # d1 entities: A,B,C
+        ("d2", "A", "owns", "B"),     # d2 entities: A,B
+        ("d2", "A", "acquired", "B"), # duplicate pair within doc: counted once
+        ("d3", "C", "owns", "C"),     # self-loop: no pair
+    ]
+    t = spark.createDataFrame(
+        rows, "doc_id string, subj_name string, pred string, obj_name string")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in graph.comention_edges(t).collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    # min_weight filter
+    got2 = {(r["src"], r["dst"]): r["weight"]
+            for r in graph.comention_edges(t, min_weight=2).collect()}
+    assert got2 == {("A", "B"): 2}

@@ -57,3 +57,24 @@ def test_salted_join_rejects_multiplicity_breaking_how(spark):
     for bad in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(big, small, ["k"], salt=4, how=bad)
+
+
+def test_key_profile_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.skew import key_profile
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["k"], r["n_rows"], r["rank"], round(r["share"], 6))
+           for r in key_profile(df, ["k"], top_n=3).orderBy("rank").collect()]
+    # tie between b and c broken by key asc
+    assert got == [("a", 5, 1, round(5 / 12, 6)),
+                   ("b", 3, 2, 0.25),
+                   ("c", 3, 3, 0.25)]
+
+
+def test_key_profile_plan_is_take_ordered(spark):
+    from financial_knowledge_graphs_spark.operators.skew import key_profile
+
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    plan = key_profile(df, ["k"], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
