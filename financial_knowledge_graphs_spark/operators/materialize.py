@@ -1029,6 +1029,70 @@ def snapshots(table_path: str) -> list[dict]:
     return out
 
 
+def _tags_path(table_path: str) -> str:
+    import os
+
+    return os.path.join(_meta_dir(table_path), "tags.json")
+
+
+def table_tags(table_path: str) -> dict[str, int]:
+    """Named snapshot refs (Iceberg TAG analog): tag name → snapshot id."""
+    import json
+    import os
+
+    p = _tags_path(table_path)
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def tag_snapshot(table_path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin a snapshot under a name (Iceberg ``create_tag``): a tagged
+    snapshot is EXEMPT from retention expiry — its metadata and version
+    dirs survive ``expire_snapshots`` until the tag is dropped. Default:
+    the live snapshot. The audit/publish primitive: tag a validated
+    snapshot ('published-2026-08-18') and readers pin to it while later
+    merges keep landing."""
+    import json
+    import os
+
+    with _commit_lock(table_path):
+        sid = int(snapshot_id) if snapshot_id is not None else _live_sid(table_path)
+        known = {s["snapshot_id"] for s in snapshots(table_path)}
+        if sid not in known:
+            raise ValueError(
+                f"cannot tag snapshot {sid} of {table_path}: not a committed "
+                f"retained snapshot ({sorted(known)})")
+        t = table_tags(table_path)
+        t[name] = sid
+        tmp = _tags_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+        os.replace(tmp, _tags_path(table_path))
+    return sid
+
+
+def drop_tag(table_path: str, name: str) -> None:
+    """Drop a named ref; the snapshot re-enters normal retention and the
+    next GC may expire it."""
+    import json
+    import os
+
+    with _commit_lock(table_path):
+        t = table_tags(table_path)
+        if name not in t:
+            return
+        del t[name]
+        tmp = _tags_path(table_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(t, f)
+        os.replace(tmp, _tags_path(table_path))
+
+
 ORPHAN_STAGING_TTL_S = 3600.0  # age before a crashed attempt's staging dir
                                # is presumed dead (an ACTIVE concurrent
                                # writer's staging is minutes old at most)
@@ -1077,8 +1141,12 @@ def _gc_versions(table_path: str) -> None:
 
     _gc_orphan_staging(table_path)
     all_snaps = snapshots(table_path)
-    retained = all_snaps[-SNAPSHOT_RETENTION:]
-    expired = all_snaps[:-SNAPSHOT_RETENTION] if SNAPSHOT_RETENTION else all_snaps
+    # tagged snapshots (Iceberg refs) are exempt from expiry
+    tag_sids = set(table_tags(table_path).values())
+    tail = all_snaps[-SNAPSHOT_RETENTION:] if SNAPSHOT_RETENTION else []
+    retained = [s for s in all_snaps
+                if s in tail or s["snapshot_id"] in tag_sids]
+    expired = [s for s in all_snaps if s not in retained]
     live: dict[str, set[str]] = {}
     for s in retained:
         for b, vs in s["buckets"].items():
@@ -1298,16 +1366,26 @@ def _empty_df(spark: SparkSession, table_path: str, meta: dict | None):
 
 
 def read_graph_table(spark: SparkSession, table_path: str,
-                     snapshot: int | None = None) -> DataFrame:
+                     snapshot: int | None = None,
+                     tag: str | None = None) -> DataFrame:
     """Read a bucketed graph table at its live snapshot — resolved through
     the single version-hint → metadata chain, so a reader NEVER sees a
     half-applied merge (the commit is one os.replace) — or, with
     ``snapshot``, at that snapshot id (time travel, Iceberg ``VERSION AS
-    OF``; the last SNAPSHOT_RETENTION snapshots stay readable). Falls back
-    to per-bucket CURRENT pointers for pre-metadata tables and to a plain
-    parquet read for legacy flat dirs."""
+    OF``; the last SNAPSHOT_RETENTION snapshots stay readable), or with
+    ``tag``, at a named ref (``tag_snapshot``; tagged snapshots never
+    expire). Falls back to per-bucket CURRENT pointers for pre-metadata
+    tables and to a plain parquet read for legacy flat dirs."""
     import os
 
+    if tag is not None:
+        if snapshot is not None:
+            raise ValueError("pass snapshot= or tag=, not both")
+        refs = table_tags(table_path)
+        if tag not in refs:
+            raise ValueError(f"no tag {tag!r} on {table_path} "
+                             f"(tags: {sorted(refs)})")
+        snapshot = refs[tag]
     if snapshot is not None:
         snap = _load_meta(table_path, snapshot)
         if snap is None:

@@ -16,6 +16,9 @@ Commands:
                                   bucket on COL so manifest bounds prune
   rebucket --keys k1,k2 --n N     grow/shrink the hash layout online
   rollback --snapshot SID         restore a retained snapshot (new commit)
+  tag --name N [--snapshot SID]   pin a snapshot as a named ref (never expires)
+  drop-tag --name N               remove a named ref
+  tags                            list named refs
   gc                              expire old snapshots + orphan staging
   changes --from SID [--to SID] [--out DIR]
                                   row-level delta between snapshots; print
@@ -55,6 +58,12 @@ def main() -> None:
     p.add_argument("--n", type=int, required=True)
     p = sub.add_parser("rollback")
     p.add_argument("--snapshot", type=int, required=True)
+    p = sub.add_parser("tag")
+    p.add_argument("--name", required=True)
+    p.add_argument("--snapshot", type=int, default=None)
+    p = sub.add_parser("drop-tag")
+    p.add_argument("--name", required=True)
+    sub.add_parser("tags")
     sub.add_parser("gc")
     p = sub.add_parser("changes")
     p.add_argument("--from", dest="from_sid", type=int, required=True)
@@ -78,6 +87,17 @@ def main() -> None:
     if args.cmd == "rollback":
         sid = m.rollback_table(t, args.snapshot)
         print(json.dumps({"rolled_back_to": args.snapshot, "new_snapshot": sid}))
+        return
+    if args.cmd == "tag":
+        sid = m.tag_snapshot(t, args.name, args.snapshot)
+        print(json.dumps({"tag": args.name, "snapshot": sid}))
+        return
+    if args.cmd == "drop-tag":
+        m.drop_tag(t, args.name)
+        print(json.dumps({"dropped": args.name}))
+        return
+    if args.cmd == "tags":
+        print(json.dumps(m.table_tags(t)))
         return
     if args.cmd == "gc":
         m._gc_versions(t)

@@ -773,3 +773,46 @@ def test_cluster_table_rejects_unknown_column(spark, tmp_warehouse):
     materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
     with pytest.raises(ValueError):
         materialize.cluster_table(spark, t, "nope")
+
+
+def test_snapshot_tags_survive_retention(spark, tmp_warehouse):
+    """Iceberg refs: a tagged snapshot outlives SNAPSHOT_RETENTION expiry
+    and stays readable by name; dropping the tag re-enters it into normal
+    retention and the next GC expires it."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "tags")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1), ("b", 2)]), ["k"], 2)
+    sid = materialize.snapshots(t)[-1]["snapshot_id"]
+    materialize.tag_snapshot(t, "published", sid)
+    assert materialize.table_tags(t) == {"published": sid}
+
+    # churn well past retention
+    for i in range(materialize.SNAPSHOT_RETENTION + 2):
+        materialize.merge_upsert(spark, t, _mk(spark, [("a", 10 + i)]), ["k"], 2)
+
+    got = materialize.read_graph_table(spark, t, tag="published")
+    assert {(r["k"], r["v"]) for r in got.collect()} == {("a", 1), ("b", 2)}
+    # equivalent by id, because the tag exempted it from expiry
+    got2 = materialize.read_graph_table(spark, t, snapshot=sid)
+    assert {(r["k"], r["v"]) for r in got2.collect()} == {("a", 1), ("b", 2)}
+
+    # an UNtagged snapshot of the same age is long gone
+    with pytest.raises(ValueError):
+        materialize.read_graph_table(spark, t, snapshot=sid + 1).collect()
+
+    materialize.drop_tag(t, "published")
+    materialize._gc_versions(t)
+    with pytest.raises(ValueError):
+        materialize.read_graph_table(spark, t, snapshot=sid).collect()
+    with pytest.raises(ValueError):
+        materialize.read_graph_table(spark, t, tag="published")
+
+
+def test_tag_unknown_snapshot_rejected(spark, tmp_warehouse):
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "tags2")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
+    with pytest.raises(ValueError):
+        materialize.tag_snapshot(t, "nope", 99)
