@@ -2161,19 +2161,23 @@ def compact_table(spark: SparkSession, table_path: str,
     _gc_versions(table_path)
 
 
-def cluster_table(spark: SparkSession, table_path: str, sort_by: str,
+def cluster_table(spark: SparkSession, table_path: str,
+                  sort_by: str | list[str],
                   files_per_bucket: int = 4) -> None:
     """Sort-order clustering: rewrite every bucket's rows range-split on
-    ``sort_by`` into up to ``files_per_bucket`` single-file version dirs,
-    each sorted within itself — the Iceberg ``rewrite_data_files`` with a
+    ``sort_by`` (a column, or a list for a composite lexicographic sort
+    order) into up to ``files_per_bucket`` single-file version dirs, each
+    sorted within itself — the Iceberg ``rewrite_data_files`` with a
     sort order. Buckets still hash on the MERGE keys (point lookups keep
     pruning); what changes is that each new dir covers a NARROW ``sort_by``
     range, so its recorded footer [min, max] bounds are tight and
     ``read_graph_table_pruned`` range scans skip whole dirs instead of
-    reading everything. Row content is unchanged; pending merge-on-read
-    deletes are folded away by the rewrite (same resolved read as
-    compaction); time travel keeps the pre-cluster snapshots until
-    retention expires them.
+    reading everything (with a composite order, bounds on the LEADING
+    column stay tight; trailing columns prune within leading-column ties —
+    the same leading-column caveat as any lexicographic sort order). Row
+    content is unchanged; pending merge-on-read deletes are folded away by
+    the rewrite (same resolved read as compaction); time travel keeps the
+    pre-cluster snapshots until retention expires them.
 
     Offline maintenance op, CAS-committed like ``compact_table``: a merge
     landing underneath raises CommitConflictError — rerun (content is
@@ -2185,11 +2189,15 @@ def cluster_table(spark: SparkSession, table_path: str, sort_by: str,
     state = _table_state(table_path)
     if not state:
         return
+    sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    if not sort_cols:
+        raise ValueError("cluster_table needs at least one sort column")
     schema_cols = {
         f["name"] for f in (state.get("schema") or {}).get("fields", [])
     }
-    if schema_cols and sort_by not in schema_cols:
-        raise ValueError(f"cluster column {sort_by!r} not in table schema")
+    for c in sort_cols:
+        if schema_cols and c not in schema_cols:
+            raise ValueError(f"cluster column {c!r} not in table schema")
     base_sid = state["snapshot_id"]
     n_buckets = state.get("n_buckets")
     k = max(1, files_per_bucket)
@@ -2208,8 +2216,8 @@ def cluster_table(spark: SparkSession, table_path: str, sort_by: str,
             continue
         out = os.path.join(staging, b)
         (
-            rows.repartitionByRange(k, F.col(sort_by))
-            .sortWithinPartitions(sort_by)
+            rows.repartitionByRange(k, *[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .parquet(out)
         )

@@ -116,7 +116,8 @@ def main() -> None:
             print(json.dumps({"files_before": (before or {}).get("files"),
                               "files_after": (after or {}).get("files")}))
         elif args.cmd == "cluster":
-            m.cluster_table(spark, t, args.by, files_per_bucket=args.files)
+            m.cluster_table(spark, t, args.by.split(","),
+                            files_per_bucket=args.files)
             print(json.dumps({"clustered_by": args.by,
                               "snapshot": m.snapshots(t)[-1]["snapshot_id"]}))
         elif args.cmd == "rebucket":

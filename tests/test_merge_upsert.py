@@ -816,3 +816,24 @@ def test_tag_unknown_snapshot_rejected(spark, tmp_warehouse):
     materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
     with pytest.raises(ValueError):
         materialize.tag_snapshot(t, "nope", 99)
+
+
+def test_cluster_table_composite_sort_order(spark, tmp_warehouse):
+    """Composite (lexicographic) sort order: leading-column bounds stay
+    tight, content unchanged."""
+    t = os.path.join(tmp_warehouse, "clustered_multi")
+    rows = [(f"k{i}", (i * 7) % 100) for i in range(200)]
+    materialize.merge_upsert(
+        spark, t, spark.createDataFrame(rows, "k string, v long"), ["k"], 2)
+    before = {(r["k"], r["v"])
+              for r in materialize.read_graph_table(spark, t).collect()}
+    materialize.cluster_table(spark, t, ["v", "k"], files_per_bucket=4)
+    after = materialize.read_graph_table(spark, t)
+    assert {(r["k"], r["v"]) for r in after.collect()} == before
+    st = materialize._table_state(t)
+    all_dirs = {(b, v) for b, vs in st["buckets"].items()
+                for v in materialize._as_dirs(vs)}
+    narrow = materialize.read_graph_table_pruned(spark, t, {"v": (0, 10)})
+    assert {(r["k"], r["v"]) for r in narrow.collect()} == \
+        {kv for kv in before if 0 <= kv[1] <= 10}
+    assert len(_dirs_of(narrow.inputFiles())) < len(all_dirs)
