@@ -211,6 +211,47 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_INJECT = ("@mail.example.com now. Call 415-555-0123 or visit 10.0.0.1 "
+               "ssn 123-45-6789 end")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with per-kind audit counts. The synthetic docs carry
+    no PII, so a deterministic md5-subset gets emails/phones/SSNs/IPs
+    injected IDENTICALLY in the Spark query and the oracle (the
+    q_dedup_exact precedent for non-vacuous driver rows)."""
+    from financial_knowledge_graphs_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    subset = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3")
+    injected = F.when(
+        subset,
+        F.concat(F.col("text"), F.lit(" Contact user"),
+                 F.col("doc_id").cast("string"), F.lit(_PII_INJECT)),
+    ).otherwise(F.col("text"))
+    return redact_pii(d.withColumn("text", injected))
+
+
+def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition + boilerplate signals. Lines are
+    derived by replacing the literal token ' merge ' with newlines (the
+    synthetic docs are single-line), and an md5-subset gains duplicate +
+    ellipsis + symbol lines — identically in both engines."""
+    from financial_knowledge_graphs_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    subset = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3")
+    t2 = F.concat(
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")),
+        F.when(subset, F.lit("\nfoo ...\nfoo ...\n## #")).otherwise(F.lit("")),
+    )
+    return gopher_quality_signals(d.withColumn("text", t2))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token windows, 8-token
     overlap) — the context-packing pass of a training-data pipeline;
@@ -908,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_dist": q_token_dist,
         "q_token_hist_ref": q_token_hist_ref,
         "q_bpe_token_count": q_bpe_token_count,
+        "q_redact_pii": q_redact_pii,
+        "q_gopher_signals": q_gopher_signals,
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep_first": q_dedup_keep_first,
@@ -968,6 +1011,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
 _TC = f"len({_TOKENS.format(col='text')})"
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_redact_pii, generated from the SAME PII_PATTERNS
+    list so the two can never drift."""
+    from financial_knowledge_graphs_spark.operators.text import PII_PATTERNS
+
+    inj = ("text || ' Contact user' || doc_id::VARCHAR || "
+           f"'{_PII_INJECT}'")
+    sql = (
+        "WITH s0 AS (SELECT doc_id, CASE WHEN "
+        "substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3') "
+        f"THEN {inj} ELSE text END AS t FROM documents)"
+    )
+    for i, (name, pat, sub) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        sql += (
+            f", s{i} AS (SELECT * EXCLUDE (t), "
+            f"len(regexp_extract_all(t, '{p}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{sub}', 'g') AS t FROM s{i - 1})"
+        )
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (sql + f" SELECT doc_id, {names}, t AS redacted "
+            f"FROM s{len(PII_PATTERNS)}")
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of q_gopher_signals (same injected text derivation and
+    the same int/int double divisions, so values are bit-identical)."""
+    return """
+        WITH base AS (
+          SELECT doc_id,
+                 replace(text, ' merge ', chr(10)) ||
+                 CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+                           IN ('0','1','2','3')
+                      THEN chr(10) || 'foo ...' || chr(10) || 'foo ...' ||
+                           chr(10) || '## #'
+                      ELSE '' END AS t
+          FROM documents
+        ), arr AS (
+          SELECT doc_id, t,
+                 list_filter(str_split(t, chr(10)), x -> x <> '') AS lines,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x <> '') AS toks
+          FROM base
+        ), sig AS (
+          SELECT doc_id,
+                 len(lines)::BIGINT AS n_lines,
+                 CASE WHEN len(lines) > 0 THEN
+                   (len(lines) - len(list_distinct(lines)))::DOUBLE
+                     / len(lines)::DOUBLE
+                 ELSE 0.0 END AS dup_line_frac,
+                 CASE WHEN len(toks) > 0 THEN
+                   list_aggregate(list_transform(toks, x -> length(x)),
+                                  'sum')::DOUBLE / len(toks)::DOUBLE
+                 ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len(toks) > 0 THEN
+                   ((length(t) - length(replace(t, '#', ''))) / 1
+                    + (length(t) - length(replace(t, '...', ''))) / 3)
+                     / len(toks)::DOUBLE
+                 ELSE 0.0 END AS symbol_ratio,
+                 CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines, x -> ends_with(x, '...')))::DOUBLE
+                     / len(lines)::DOUBLE
+                 ELSE 0.0 END AS ellipsis_line_frac
+          FROM arr
+        )
+        SELECT doc_id, n_lines,
+               round(dup_line_frac, 6) AS dup_line_frac,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio < 0.1 AND dup_line_frac < 0.3
+                AND ellipsis_line_frac < 0.3) AS gopher_pass
+        FROM sig
+    """
 
 
 def _suffix_list_sql() -> str:
@@ -1383,6 +1503,8 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))::BIGINT AS bpe_tokens
             FROM documents
         """,
+        "q_redact_pii": _pii_oracle_sql(),
+        "q_gopher_signals": _gopher_oracle_sql(),
         "q_chunk_documents": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS.format(col='text')} AS t FROM documents

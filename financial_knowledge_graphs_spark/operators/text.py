@@ -253,3 +253,84 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
             F.slice(F.col("__toks"), F.col("__s") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+# PII patterns, applied IN ORDER (each replace runs on the previous result,
+# so overlapping matchers — an SSN is also a valid phone-shaped string —
+# resolve deterministically and identically in any engine). ASCII-only
+# constructs shared by Java regex and RE2.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: sequentially redact emails,
+    SSNs, IPv4s, phone-shaped numbers, with per-kind match counts for the
+    audit trail. Pure Catalyst (regexp_replace/regexp_count — whole-stage
+    codegen, no UDF, shuffle-free); counts are taken on the text as it
+    stands BEFORE that pattern's replace, so the count pipeline is
+    engine-reproducible."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, sub in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, sub)
+    return docs.select(F.col(id_col), *counts, cur.alias("redacted"))
+
+
+def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           line_sep: str = "\n") -> DataFrame:
+    """Repetition / boilerplate signals in the style of the published
+    Gopher / RefinedWeb filtering rules: duplicate-line fraction, mean word
+    length, symbol-to-word ratio ('#' and '...'), fraction of lines ending
+    in an ellipsis — plus the combined pass/fail the published thresholds
+    imply (3 <= mean_word_len <= 10, symbol_ratio < 0.1,
+    dup_line_frac < 0.3, ellipsis_line_frac < 0.3). All array/aggregate
+    expressions — shuffle-free, engine-portable."""
+    import re as _re
+
+    lines = F.filter(F.split(F.col(text_col), _re.escape(line_sep)),
+                     lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0),
+                          lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(n_tok > 0,
+                     sum_len.cast("double") / n_tok.cast("double")
+                     ).otherwise(F.lit(0.0))
+    n_sym = (occurrences(F.col(text_col), "#")
+             + occurrences(F.col(text_col), "..."))
+    sym_ratio = F.when(n_tok > 0,
+                       n_sym.cast("double") / n_tok.cast("double")
+                       ).otherwise(F.lit(0.0))
+    ell_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    gopher_pass = (
+        (mean_wl >= 3.0) & (mean_wl <= 10.0) & (sym_ratio < 0.1)
+        & (dup_frac < 0.3) & (ell_frac < 0.3)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(ell_frac, 6).alias("ellipsis_line_frac"),
+        gopher_pass.alias("gopher_pass"),
+    )

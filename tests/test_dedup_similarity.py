@@ -292,3 +292,46 @@ def test_chunk_documents_no_shuffle_plan(spark):
                                 F.lit("a b c d e").alias("text"))
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_redact_pii_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([
+        (1, "mail bob.smith+x@corp.example.com or call +1 (415) 555-0123"),
+        (2, "ssn 123-45-6789 server 10.0.12.9 end"),   # ssn is NOT a phone
+        (3, "clean text"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in redact_pii(df).collect()}
+    assert got[1] == (1, 0, 0, 1, "mail [EMAIL] or call [PHONE]")
+    assert got[2] == (0, 1, 1, 0, "ssn [SSN] server [IP] end")
+    assert got[3] == (0, 0, 0, 0, "clean text")
+
+
+def test_gopher_signals_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import (
+        gopher_quality_signals,
+    )
+
+    df = spark.createDataFrame([
+        (1, "good solid prose line\nanother decent line here"),
+        (2, "spam spam\nspam spam\nspam spam\nreal ..."),  # dup lines
+        (3, "#### ## #"),                                   # symbol soup
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_signals(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["dup_line_frac"] == 0.5 and got[2]["gopher_pass"] is False
+    assert got[3]["symbol_ratio"] > 1 and got[3]["gopher_pass"] is False
+    assert got[2]["ellipsis_line_frac"] == 0.25
+
+
+def test_text_ops_no_shuffle_plans(spark):
+    from financial_knowledge_graphs_spark.operators.text import (
+        gopher_quality_signals, redact_pii,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                F.lit("a b c").alias("text"))
+    for out in (redact_pii(df), gopher_quality_signals(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
