@@ -262,6 +262,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=64, overlap=8)
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 32-token chunks (no overlap) packed into 128-token
+    bins by start-offset — chunking's downstream batch-prep pass; one
+    window + one hash agg sharing the per-doc partitioning."""
+    from financial_knowledge_graphs_spark.operators.text import (
+        chunk_documents, pack_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_chunks(chunk_documents(d, chunk_tokens=32, overlap=0),
+                       budget=128)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over a corpus with KNOWN duplicates: the testdata
     documents carry none at small SF, so the query unions in a deterministic
@@ -952,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_pii": q_redact_pii,
         "q_gopher_signals": q_gopher_signals,
         "q_chunk_documents": q_chunk_documents,
+        "q_pack_chunks": q_pack_chunks,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_keep_first": q_dedup_keep_first,
         "q_seeded_sample": q_seeded_sample,
@@ -1520,6 +1534,31 @@ def oracle_sql() -> dict[str, str]:
                    least(64, n - s)::BIGINT AS n_tokens,
                    array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
             FROM starts
+        """,
+        "q_pack_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS.format(col='text')} AS t FROM documents
+            ), sized AS (
+              SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            ), chunks AS (
+              SELECT doc_id, (s // 32)::BIGINT AS chunk_id,
+                     least(32, n - s)::BIGINT AS n_tokens,
+                     array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+              FROM (SELECT doc_id, t, n,
+                           unnest(range(0, greatest(n, 1), 32)) AS s
+                    FROM sized)
+            ), binned AS (
+              SELECT doc_id, chunk_id, n_tokens, chunk_text,
+                     (coalesce((sum(n_tokens) OVER (
+                        PARTITION BY doc_id ORDER BY chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ))::BIGINT, 0) // 128)::BIGINT AS bin_id
+              FROM chunks
+            )
+            SELECT doc_id, bin_id, count(*)::BIGINT AS n_chunks,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_id) AS packed_text
+            FROM binned GROUP BY 1, 2
         """,
         "q_dedup_exact": """
             WITH base AS (SELECT doc_id::VARCHAR AS doc_id, text FROM documents),

@@ -334,3 +334,44 @@ def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
         F.round(ell_frac, 6).alias("ellipsis_line_frac"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def pack_chunks(chunks: DataFrame, budget: int, doc_col: str = "doc_id",
+                order_col: str = "chunk_id", tokens_col: str = "n_tokens",
+                text_col: str = "chunk_text") -> DataFrame:
+    """Sequence packing: assign each ordered chunk to a fixed token-budget
+    bin by its START offset in the doc's concatenated token stream
+    (bin = floor(tokens_before / budget)) and concatenate each bin's texts
+    — the batch-prep pass that turns chunked docs into training sequences.
+
+    Offset-based assignment (not first-fit) keeps the operator a single
+    window + hash agg: greedy first-fit needs per-row sequential state, so
+    a bin here may overflow by at most one chunk (the straddler) — the
+    standard streaming-pack tradeoff, and deterministic in any engine.
+    One shuffle for the window (per-doc sort), the groupBy reuses the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    binned = chunks.withColumn(
+        "bin_id", F.floor(before / F.lit(budget)).cast("long")
+    )
+    packed = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(order_col, text_col))),
+            lambda s: s[text_col],
+        ),
+        " ",
+    )
+    return binned.groupBy(doc_col, "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+        packed.alias("packed_text"),
+    )

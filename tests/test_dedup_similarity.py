@@ -335,3 +335,23 @@ def test_text_ops_no_shuffle_plans(spark):
     for out in (redact_pii(df), gopher_quality_signals(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_pack_chunks_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import (
+        chunk_documents, pack_chunks,
+    )
+
+    # doc 1: 10 tokens -> chunks of 4/4/2; budget 8 -> bins [c0,c1], [c2]
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string")
+    ch = chunk_documents(df, chunk_tokens=4, overlap=0)
+    got = {(r["doc_id"], r["bin_id"]): (r["n_chunks"], r["n_tokens"], r["packed_text"])
+           for r in pack_chunks(ch, budget=8).collect()}
+    assert got == {
+        (1, 0): (2, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (1, 1): (1, 2, "t8 t9"),
+    }
+    # packing reuses the window's partitioning: exactly one Exchange
+    plan = pack_chunks(ch, budget=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
