@@ -5,9 +5,12 @@ deliberately written with engine-portable primitives (length/replace/md5/
 regexp) so the DuckDB oracle in __spark_entry__.py computes bit-identical
 results — that is the correctness gate for these operators.
 
-Operators: token counting, language-ID (stopword-hit heuristic), quality
-scoring (length/punct/stopword ratios), document fingerprinting (exact md5 +
-shingle fingerprint).
+Operators: token counting (whitespace + BPE-ish), language-ID (stopword-hit
+heuristic), quality scoring (length/punct/stopword ratios), document
+fingerprinting (exact md5 + shingle + MOSS winnowing), TF-IDF top-terms,
+document chunking (overlapping token windows) + sequence packing
+(token-budget bins), PII redaction with audit counts, and Gopher-style
+repetition/boilerplate signals.
 """
 
 from __future__ import annotations
