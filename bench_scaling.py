@@ -148,7 +148,10 @@ clock drift).
     tail = ""
     if os.path.exists(target):
         cur = open(target).read()
-        i = cur.find("## 5.")
+        # keep EVERYTHING after the §4 measurement block (4b/4c analyses,
+        # §5 smoke) — only the §4 table/efficiency is regenerated
+        i = min((j for j in (cur.find("## 4b"), cur.find("## 5."))
+                 if j >= 0), default=-1)
         if i >= 0:
             tail = "\n" + cur[i:]
     with open(target, "w") as f:
