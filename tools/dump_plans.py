@@ -29,6 +29,8 @@ PICK = [
     "kg_degree",               # agg over the bucketed graph table
     "q_chunk_documents",       # shuffle-free chunking map stage
     "q_rolling_agg",           # single-sort shared rolling window
+    "q_pack_chunks",           # window + agg sharing one partitioning
+    "q_key_skew_profile",      # distributed top-K (TakeOrderedAndProject)
 ]
 
 
