@@ -1036,18 +1036,36 @@ def _tags_path(table_path: str) -> str:
 
 
 def table_tags(table_path: str) -> dict[str, int]:
-    """Named snapshot refs (Iceberg TAG analog): tag name → snapshot id."""
+    """Named snapshot refs (Iceberg TAG analog): tag name → snapshot id.
+
+    FAIL-CLOSED: a missing tags.json means "no tags", but an unreadable or
+    corrupt one RAISES — GC consumes this to decide what may expire, and
+    silently treating corruption as "no tags" would let it delete pinned
+    snapshots (review r3-1)."""
     import json
     import os
 
     p = _tags_path(table_path)
     if not os.path.exists(p):
         return {}
-    try:
-        with open(p) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
-    except (OSError, ValueError):
-        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def _write_tags(table_path: str, tags: dict[str, int]) -> None:
+    """Durable atomic tags.json swap: flush+fsync BEFORE the rename (same
+    discipline as _commit_snapshot) — rename-atomicity alone can still lose
+    a just-acknowledged tag to a crash if the tmp content never hit disk
+    (review r3-4)."""
+    import json
+    import os
+
+    tmp = _tags_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _tags_path(table_path))
 
 
 def tag_snapshot(table_path: str, name: str, snapshot_id: int | None = None) -> int:
@@ -1069,10 +1087,7 @@ def tag_snapshot(table_path: str, name: str, snapshot_id: int | None = None) -> 
                 f"retained snapshot ({sorted(known)})")
         t = table_tags(table_path)
         t[name] = sid
-        tmp = _tags_path(table_path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(t, f)
-        os.replace(tmp, _tags_path(table_path))
+        _write_tags(table_path, t)
     return sid
 
 
@@ -1087,10 +1102,7 @@ def drop_tag(table_path: str, name: str) -> None:
         if name not in t:
             return
         del t[name]
-        tmp = _tags_path(table_path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(t, f)
-        os.replace(tmp, _tags_path(table_path))
+        _write_tags(table_path, t)
 
 
 ORPHAN_STAGING_TTL_S = 3600.0  # age before a crashed attempt's staging dir
@@ -1134,7 +1146,18 @@ def _gc_versions(table_path: str) -> None:
     landed yet; deleting it would make that writer's CAS succeed against a
     snapshot whose data files are gone (silent data loss). Those dirs are
     age-gated like orphan staging: only dropped past ORPHAN_STAGING_TTL_S,
-    which an active writer's install→commit window never approaches."""
+    which an active writer's install→commit window never approaches.
+
+    Runs under the commit lock: the tag set, the expiry decision, and the
+    deletions must be one critical section — otherwise a tag created after
+    GC reads tags.json but before it deletes can acknowledge a pin whose
+    snapshot GC is about to expire (review r3-2). Callers invoke this
+    AFTER their own commit's lock is released (no nesting)."""
+    with _commit_lock(table_path):
+        _gc_versions_locked(table_path)
+
+
+def _gc_versions_locked(table_path: str) -> None:
     import os
     import shutil
     import time as _time

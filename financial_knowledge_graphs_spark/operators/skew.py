@@ -80,7 +80,9 @@ def key_profile(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
     from pyspark.sql import Window
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # total from the SAME aggregate (sum of per-key counts == count(*)):
+    # Catalyst reuses the groupBy exchange instead of scanning df twice
+    total = counts.agg(F.sum("n_rows").alias("__total"))
     order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
     top = counts.orderBy(*order).limit(top_n)
     w = Window.orderBy(*order)  # top_n rows only: trivial single task

@@ -53,7 +53,12 @@ _CHANGE_COL = "_change_type"
 # ---------------------------------------------------------------------------
 
 def _null_safe(v):
-    """Hashable null-safe encoding: None (incl. NaN) and values never collide."""
+    """Hashable null-safe encoding: None (incl. NaN) and values never
+    collide. Caveat (shared with every pandas-side path here): pyarrow's
+    to_pandas folds a FLOAT column's NULLs and literal NaNs into NaN, so
+    that one distinction is unrepresentable post-conversion — this engine's
+    merge keys are string/integral (graph tables), where null-safety is
+    exact."""
     import pandas as pd
 
     try:
@@ -143,10 +148,13 @@ def _resolved_rows(table_path: str, bucket: str, data: list, dels: list,
         for dseq, kcols, keys in del_sets:
             if dseq <= int(seq) or not keys:
                 continue
-            hit = pdf.apply(
-                lambda r: tuple(_null_safe(r[k]) for k in kcols) in keys,
-                axis=1,
-            )
+            # vectorized null-safe key membership: one encoded Series per
+            # key column, zipped — no per-row Python lambda (review r3-6)
+            import pandas as pd
+
+            encoded = [pdf[k].map(_null_safe) for k in kcols]
+            row_keys = pd.Series(list(zip(*encoded)), index=pdf.index)
+            hit = row_keys.isin(keys)
             mask = hit if mask is None else (mask | hit)
         if mask is not None:
             pdf = pdf[~mask]

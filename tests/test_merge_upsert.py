@@ -837,3 +837,26 @@ def test_cluster_table_composite_sort_order(spark, tmp_warehouse):
     assert {(r["k"], r["v"]) for r in narrow.collect()} == \
         {kv for kv in before if 0 <= kv[1] <= 10}
     assert len(_dirs_of(narrow.inputFiles())) < len(all_dirs)
+
+
+def test_corrupt_tags_file_fails_closed(spark, tmp_warehouse):
+    """Review r3-1: a corrupt tags.json must RAISE (and abort GC) rather
+    than read as 'no tags' and let GC expire pinned snapshots."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "tags3")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
+    materialize.tag_snapshot(t, "pin")
+    with open(materialize._tags_path(t), "w") as f:
+        f.write("{corrupt json")
+    with pytest.raises(Exception):
+        materialize.table_tags(t)
+    with pytest.raises(Exception):
+        materialize._gc_versions(t)
+    # repair restores normal operation
+    with open(materialize._tags_path(t), "w") as f:
+        f.write('{"pin": 1}')
+    assert materialize.table_tags(t) == {"pin": 1}
+    materialize._gc_versions(t)  # no raise
+    got = materialize.read_graph_table(spark, t, tag="pin")
+    assert [(r["k"], r["v"]) for r in got.collect()] == [("a", 1)]
