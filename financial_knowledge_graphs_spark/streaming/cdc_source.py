@@ -168,10 +168,12 @@ class _ChangesPartition(InputPartition):
 
 
 class _ChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, schema: StructType, start_sid: int):
+    def __init__(self, table_path: str, schema: StructType, start_sid: int,
+                 pin: str | None = None):
         self.table_path = table_path
         self.schema = schema
         self.start_sid = start_sid
+        self.pin = pin
         self.fields = [f.name for f in schema.fields if f.name != _CHANGE_COL]
         self.types = {
             f.name: f.dataType.simpleString() for f in schema.fields
@@ -187,13 +189,25 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return {"sid": int(m._live_sid(self.table_path))}
 
     def commit(self, end: dict) -> None:
-        pass
+        pass  # pinning happens at PLANNING time (see partitions); for a
+        # Trigger.AvailableNow query the final batch's commit() only runs
+        # at the START of the next query — far too late to protect the
+        # offset from retention GC in between.
 
     # -- planning (driver; snapshot metadata only, no data I/O) --------------
     def partitions(self, start: dict, end: dict):
         from ..operators import materialize as m
 
         a_sid, b_sid = int(start["sid"]), int(end["sid"])
+        # consumer-offset pinning (`.option("pin", name)`): tag this
+        # batch's END snapshot NOW — it is the next batch's (and, after an
+        # AvailableNow stop, the next RUN's) diff base, and pinning at
+        # planning time keeps it alive across arbitrarily long consumer
+        # downtime (the Iceberg consumer-ref pattern; commit() is too late,
+        # see above). Inductively the current start was pinned when it was
+        # planned as an end. Decommission a consumer with drop_tag().
+        if self.pin and b_sid > 0:
+            m.tag_snapshot(self.table_path, self.pin, b_sid)
         if a_sid == b_sid:
             return [_ChangesPartition({"kind": "noop"})]
 
@@ -292,12 +306,14 @@ class GraphTableChangesDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> _ChangesStreamReader:
         start = int(self.options.get("from_snapshot", 0))
-        return _ChangesStreamReader(self._table_path(), schema, start)
+        return _ChangesStreamReader(self._table_path(), schema, start,
+                                    pin=self.options.get("pin"))
 
 
 def stream_apply_changes(spark, src_table: str, dst_table: str,
                          keys: list[str], n_buckets: int = 32,
-                         checkpoint: str | None = None, mode: str = "cow"):
+                         checkpoint: str | None = None, mode: str = "cow",
+                         pin: str | None = "auto"):
     """Table replication = the CDC stream applied: tail ``src_table``'s
     snapshot log and merge each micro-batch's delta into ``dst_table``
     (inserts/updates via the keyed MERGE, pure deletes via its WHEN MATCHED
@@ -314,10 +330,14 @@ def stream_apply_changes(spark, src_table: str, dst_table: str,
     branch. Runs with Trigger.AvailableNow (drain-and-stop; call again to
     catch up).
 
-    Retention bound (same as Iceberg incremental scans): the checkpointed
-    offset must still be a retained snapshot — a replica left unsynced for
-    more than SNAPSHOT_RETENTION source commits raises (the diff base's
-    metadata/dirs are GC'd); re-seed it from a full read instead."""
+    Retention: by default the consumer PINS its committed offset on the
+    source (``pin="auto"`` → a tag named from the replica path via the
+    reader's commit() hook), so the diff base survives GC no matter how
+    far behind the replica falls — drop the tag to decommission the
+    consumer. With ``pin=None`` the raw retention bound applies (an offset
+    older than SNAPSHOT_RETENTION commits raises, like an Iceberg
+    incremental scan past expiry); re-seed from a full read then."""
+    import hashlib
     import pyspark.sql.functions as F  # noqa: N812
 
     from ..operators.materialize import merge_upsert
@@ -336,10 +356,13 @@ def stream_apply_changes(spark, src_table: str, dst_table: str,
         merge_upsert(spark, dst_table, ins, keys, n_buckets,
                      deletes=None if dks.isEmpty() else dks, mode=mode)
 
-    reader = (
-        spark.readStream.format("graph_table_changes")
-        .option("path", src_table).load()
-    )
+    if pin == "auto":
+        pin = "cdc-" + hashlib.md5(
+            os.path.abspath(dst_table).encode()).hexdigest()[:10]
+    r = spark.readStream.format("graph_table_changes").option("path", src_table)
+    if pin:
+        r = r.option("pin", pin)
+    reader = r.load()
     w = reader.writeStream.foreachBatch(_apply).trigger(availableNow=True)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)

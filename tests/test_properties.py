@@ -192,3 +192,67 @@ def test_sessionize_model_based(spark):
         for r in sessionize(df, "user", "ts", gap, "eid").collect()
     }
     assert got == want
+
+
+def test_merge_modes_and_maintenance_model_based(spark, tmp_warehouse):
+    """Random interleaving of cow/mor merges, deletes, replays and the
+    maintenance ops (compact / cluster / rebucket) == a dict model at
+    every step; afterwards a CDC-fed replica (streaming source + apply)
+    converges to the same state."""
+    import random as _random
+
+    from financial_knowledge_graphs_spark.streaming.cdc_source import (
+        stream_apply_changes,
+    )
+
+    rng = _random.Random(777)
+    t = os.path.join(tmp_warehouse, "mixed")
+    dst = os.path.join(tmp_warehouse, "mixed_replica")
+    ckpt = os.path.join(tmp_warehouse, "mixed_ckpt")
+    model: dict[str, int] = {}
+    keyspace = [f"k{i}" for i in range(40)]
+
+    def check(step):
+        got = {r["k"]: r["v"]
+               for r in materialize.read_graph_table(spark, t).collect()}
+        assert got == model, f"divergence at step {step}"
+
+    def drain():
+        q = stream_apply_changes(spark, t, dst, ["k"], n_buckets=2,
+                                 checkpoint=ckpt)
+        q.awaitTermination(180)
+        got = {r["k"]: r["v"]
+               for r in materialize.read_graph_table(spark, dst).collect()}
+        assert got == model
+
+    for step in range(8):
+        ups = {rng.choice(keyspace): rng.randrange(1000)
+               for _ in range(rng.randrange(1, 10))}
+        dels = ({rng.choice(list(model))} - set(ups)) if model and rng.random() < 0.4 else set()
+        up_df = spark.createDataFrame(list(ups.items()), "k string, v long")
+        del_df = (spark.createDataFrame([(d,) for d in dels], "k string")
+                  if dels else None)
+        mode = "mor" if rng.random() < 0.5 else "cow"
+        materialize.merge_upsert(spark, t, up_df, ["k"], n_buckets=4,
+                                 deletes=del_df, mode=mode)
+        if rng.random() < 0.25:  # crash-replay of the same upserts
+            materialize.merge_upsert(spark, t, up_df, ["k"], n_buckets=4,
+                                     mode=mode)
+        model.update(ups)
+        for d in dels:
+            model.pop(d, None)
+        # keep the CDC consumer within the retention window
+        if step in (1, 4):
+            drain()
+        if step == 2:
+            materialize.compact_table(spark, t)
+        if step == 5:
+            materialize.cluster_table(spark, t, "v", files_per_bucket=2)
+        if step == 6:
+            materialize.rebucket_table(spark, t, ["k"], 8)
+        check(step)
+    drain()
+    # point lookups agree with the model through the final mixed layout
+    for k in list(model)[:3]:
+        got = materialize.lookup_by_key(spark, t, ["k"], (k,)).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(k, model[k])]
