@@ -252,6 +252,23 @@ def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_signals(d.withColumn("text", t2))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C recipe): flag docs
+    sharing any lowercase word 8-gram with a held-out 'benchmark' — here
+    the deterministic md5-'0'/'1' doc_id subset of the corpus itself, so
+    the row is non-vacuous (subset members self-match; near-dups sharing
+    an 8-token run also flag)."""
+    from financial_knowledge_graphs_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    return decontaminate(d, test, n=8).select(
+        "doc_id", "contaminated_ngrams", "is_contaminated"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token windows, 8-token
     overlap) — the context-packing pass of a training-data pipeline;
@@ -964,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": q_bpe_token_count,
         "q_redact_pii": q_redact_pii,
         "q_gopher_signals": q_gopher_signals,
+        "q_decontaminate": q_decontaminate,
         "q_chunk_documents": q_chunk_documents,
         "q_pack_chunks": q_pack_chunks,
         "q_dedup_exact": q_dedup_exact,
@@ -1519,6 +1537,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_redact_pii": _pii_oracle_sql(),
         "q_gopher_signals": _gopher_oracle_sql(),
+        "q_decontaminate": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {_TOKENS.format(col='lower(trim(text))')} AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 8
+                       THEN list_transform(
+                              generate_series(1, len(toks) - 7),
+                              i -> md5(array_to_string(toks[i:i+7], ' ')))
+                       ELSE [md5(array_to_string(toks, ' '))] END AS hs
+              FROM t
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(hs)) AS g FROM h
+            ), test_g AS (
+              SELECT DISTINCT g FROM g
+              WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1')
+            ), hits AS (
+              SELECT g.doc_id, count(*)::BIGINT AS contaminated_ngrams
+              FROM g JOIN test_g USING (g) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(hits.contaminated_ngrams, 0)::BIGINT
+                     AS contaminated_ngrams,
+                   coalesce(hits.contaminated_ngrams, 0) > 0
+                     AS is_contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
         "q_chunk_documents": f"""
             WITH toks AS (
               SELECT doc_id, {_TOKENS.format(col='text')} AS t FROM documents

@@ -9,8 +9,9 @@ Operators: token counting (whitespace + BPE-ish), language-ID (stopword-hit
 heuristic), quality scoring (length/punct/stopword ratios), document
 fingerprinting (exact md5 + shingle + MOSS winnowing), TF-IDF top-terms,
 document chunking (overlapping token windows) + sequence packing
-(token-budget bins), PII redaction with audit counts, and Gopher-style
-repetition/boilerplate signals.
+(token-budget bins), PII redaction with audit counts, Gopher-style
+repetition/boilerplate signals, and benchmark decontamination (test-set
+n-gram overlap flagging).
 """
 
 from __future__ import annotations
@@ -336,6 +337,60 @@ def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
         F.round(sym_ratio, 6).alias("symbol_ratio"),
         F.round(ell_frac, 6).alias("ellipsis_line_frac"),
         gopher_pass.alias("gopher_pass"),
+    )
+
+
+def _ngram_hash_array(text_col: str, n: int) -> Column:
+    """md5 hashes of the lowercase word n-grams of a text column; docs with
+    fewer than n tokens contribute their whole token string as one gram so
+    a short doc can still match itself. Same normalize/slice/md5 constructs
+    as winnow_fingerprints — the proven cross-engine-parity shape."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = F.filter(F.split(norm, r"\s+"), lambda w: w != F.lit(""))
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+
+
+def decontaminate(docs: DataFrame, test_docs: DataFrame, n: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Llama recipe):
+    flag training documents that share any lowercase word n-gram with a
+    held-out test/benchmark corpus, so evaluation data can be removed from
+    the training set. Adds `contaminated_ngrams` (distinct matched grams)
+    and `is_contaminated` to every docs row.
+
+    100 TB shape: benchmark corpora are KBs-to-MBs even when training data
+    is 100 TB, so the test side's DISTINCT gram-hash set is broadcast and
+    the flag is a broadcast inner join + per-doc agg — the big side is
+    scanned once, bodies never shuffle (only (doc_id, 32B hash) pairs of
+    MATCHED grams reach the aggregate), and clean docs rejoin via the
+    doc_id left join."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngram_hash_array(text_col, n))).alias("g"),
+    )
+    test_grams = test_docs.select(
+        F.explode(F.array_distinct(_ngram_hash_array(text_col, n))).alias("g")
+    ).distinct()
+    hits = (
+        grams.join(F.broadcast(test_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_ngrams"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(
+            "contaminated_ngrams",
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0).cast("long")),
+        )
+        .withColumn("is_contaminated", F.col("contaminated_ngrams") > 0)
     )
 
 

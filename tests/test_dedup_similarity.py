@@ -325,6 +325,54 @@ def test_gopher_signals_hand_checked(spark):
     assert got[2]["ellipsis_line_frac"] == 0.25
 
 
+def test_decontaminate_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over"),   # exact copy of test doc
+        (2, "intro words the quick brown fox jumps over and more"),  # run
+        (3, "totally unrelated clean content here"),
+        (4, "ox"),                               # short, no overlap
+    ], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, test, n=3).collect()}
+    # test doc has 6 tokens -> 4 distinct 3-grams; doc 1 matches all 4
+    assert got[1]["contaminated_ngrams"] == 4 and got[1]["is_contaminated"]
+    # doc 2 contains the whole run -> also shares all 4 grams
+    assert got[2]["contaminated_ngrams"] == 4 and got[2]["is_contaminated"]
+    assert got[3]["contaminated_ngrams"] == 0 and not got[3]["is_contaminated"]
+    assert got[4]["contaminated_ngrams"] == 0 and not got[4]["is_contaminated"]
+    # schema: docs columns preserved + the two flags
+    assert set(decontaminate(docs, test, n=3).columns) == {
+        "doc_id", "text", "contaminated_ngrams", "is_contaminated"}
+
+
+def test_decontaminate_short_doc_self_match(spark):
+    """A test snippet shorter than n tokens still flags its exact copy via
+    the whole-string fallback gram."""
+    from financial_knowledge_graphs_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "tiny snippet"), (2, "other text")], "doc_id long, text string")
+    test = spark.createDataFrame([(9, "tiny snippet")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r["is_contaminated"]
+           for r in decontaminate(docs, test, n=8).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    from financial_knowledge_graphs_spark.operators.text import decontaminate
+
+    docs = spark.range(50).select(F.col("id").alias("doc_id"),
+                                  F.lit("a b c d e f g h i").alias("text"))
+    test = docs.limit(2)
+    plan = (decontaminate(docs, test, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_text_ops_no_shuffle_plans(spark):
     from financial_knowledge_graphs_spark.operators.text import (
         gopher_quality_signals, redact_pii,
