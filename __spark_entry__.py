@@ -252,6 +252,26 @@ def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_signals(d.withColumn("text", t2))
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules: top-2-gram and duplicated-5-gram
+    character fractions + the published-threshold pass (0.20 / 0.15). An
+    md5-subset gains a twice-repeated 5-token phrase so the duplicated-gram
+    branch is non-vacuous at the driver scale — identically in both
+    engines."""
+    from financial_knowledge_graphs_spark.operators.text import (
+        ngram_repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    subset = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1")
+    rep = " alpha beta gamma delta epsilon alpha beta gamma delta epsilon"
+    t2 = F.concat(F.col("text"),
+                  F.when(subset, F.lit(rep)).otherwise(F.lit("")))
+    return ngram_repetition_signals(d.withColumn("text", t2),
+                                    top_n=2, dup_n=5)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C recipe): flag docs
     sharing any lowercase word 8-gram with a held-out 'benchmark' — here
@@ -981,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": q_bpe_token_count,
         "q_redact_pii": q_redact_pii,
         "q_gopher_signals": q_gopher_signals,
+        "q_ngram_repetition": q_ngram_repetition,
         "q_decontaminate": q_decontaminate,
         "q_chunk_documents": q_chunk_documents,
         "q_pack_chunks": q_pack_chunks,
@@ -1537,6 +1558,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_redact_pii": _pii_oracle_sql(),
         "q_gopher_signals": _gopher_oracle_sql(),
+        "q_ngram_repetition": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+                                       IN ('0','1')
+                             THEN ' alpha beta gamma delta epsilon'
+                                  || ' alpha beta gamma delta epsilon'
+                             ELSE '' END AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     {_TOKENS.format(col='lower(trim(text))')} AS toks
+              FROM inj
+            ), base AS (
+              SELECT doc_id,
+                     coalesce(list_aggregate(
+                       list_transform(toks, w -> length(w)), 'sum'), 0)::BIGINT
+                       AS total_chars,
+                     toks
+              FROM t
+            ), g2 AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END) AS gram
+              FROM base
+            ), c2 AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS c,
+                     (length(gram) - 1)::BIGINT AS chars
+              FROM g2 GROUP BY doc_id, gram
+            ), top1 AS (
+              SELECT doc_id, gram AS top_ngram, c * chars AS top_chars
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+                    FROM c2)
+              WHERE rn = 1
+            ), g5 AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 5
+                  THEN list_transform(generate_series(1, len(toks) - 4),
+                                      i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE []::VARCHAR[] END) AS gram
+              FROM base
+            ), c5 AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS c,
+                     (length(gram) - 4)::BIGINT AS chars
+              FROM g5 GROUP BY doc_id, gram
+            ), dup AS (
+              SELECT doc_id, sum(c * chars)::BIGINT AS dup_chars
+              FROM c5 WHERE c >= 2 GROUP BY doc_id
+            ), fr AS (
+              SELECT b.doc_id, top1.top_ngram,
+                     CASE WHEN b.total_chars > 0 THEN
+                       coalesce(top1.top_chars, 0)::DOUBLE
+                         / b.total_chars::DOUBLE
+                     ELSE 0.0 END AS tf,
+                     CASE WHEN b.total_chars > 0 THEN
+                       coalesce(dup.dup_chars, 0)::DOUBLE
+                         / b.total_chars::DOUBLE
+                     ELSE 0.0 END AS df
+              FROM base b
+              LEFT JOIN top1 USING (doc_id) LEFT JOIN dup USING (doc_id)
+            )
+            SELECT doc_id, top_ngram,
+                   round(tf, 6) AS top_ngram_char_frac,
+                   round(df, 6) AS dup_ngram_char_frac,
+                   (tf <= 0.20 AND df <= 0.15) AS repetition_pass
+            FROM fr
+        """,
         "q_decontaminate": f"""
             WITH t AS (
               SELECT doc_id,

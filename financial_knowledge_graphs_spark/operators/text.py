@@ -340,6 +340,102 @@ def gopher_quality_signals(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Gopher (Rae et al. 2021, table A1) repetition thresholds: max fraction of
+# characters in the single most frequent n-gram / in duplicated n-grams.
+GOPHER_TOP_NGRAM_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESH = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined lowercase word n-grams (empty when the doc has
+    fewer than n tokens)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != F.lit(""))
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(1), sz - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition_signals(docs: DataFrame, top_n: int = 2, dup_n: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The Gopher repetition rules the line-level signals miss: fraction of
+    characters inside the single most frequent word ``top_n``-gram (Gopher
+    caps it at 0.20/0.18/0.16 for n=2/3/4) and fraction of characters in
+    DUPLICATED ``dup_n``-grams (0.15..0.10 for n=5..10). Character counts
+    follow the paper's convention — overlapping occurrences overcount, the
+    denominator is total token characters.
+
+    Two explode→agg passes keyed by doc_id (per-doc gram cardinality is
+    bounded by doc length, so the shuffle key has no hub skew; both windows
+    reuse the groupBy's hash partitioning). `repetition_pass` applies the
+    published thresholds when the chosen n has one."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("long").alias("_total_chars"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        g = docs.select(
+            F.col(id_col),
+            F.explode(_word_ngrams(text_col, n)).alias("gram"),
+        )
+        # chars in one occurrence = gram length minus its n-1 separators
+        return (
+            g.groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("chars", (F.length("gram") - F.lit(n - 1)).cast("long"))
+        )
+
+    top = gram_counts(top_n)
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram").asc())
+    top1 = (
+        top.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_ngram"),
+                (F.col("c") * F.col("chars")).alias("_top_chars"))
+    )
+    dup = (
+        gram_counts(dup_n).filter(F.col("c") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("chars")).alias("_dup_chars"))
+    )
+    out = (
+        base.join(top1, id_col, "left").join(dup, id_col, "left")
+        .withColumn("_top_chars", F.coalesce("_top_chars", F.lit(0)))
+        .withColumn("_dup_chars", F.coalesce("_dup_chars", F.lit(0)))
+    )
+    tot = F.col("_total_chars").cast("double")
+    top_frac = F.when(F.col("_total_chars") > 0,
+                      F.col("_top_chars").cast("double") / tot
+                      ).otherwise(F.lit(0.0))
+    dup_frac = F.when(F.col("_total_chars") > 0,
+                      F.col("_dup_chars").cast("double") / tot
+                      ).otherwise(F.lit(0.0))
+    checks = []
+    if top_n in GOPHER_TOP_NGRAM_THRESH:
+        checks.append(top_frac <= F.lit(GOPHER_TOP_NGRAM_THRESH[top_n]))
+    if dup_n in GOPHER_DUP_NGRAM_THRESH:
+        checks.append(dup_frac <= F.lit(GOPHER_DUP_NGRAM_THRESH[dup_n]))
+    rep_pass = F.lit(True)
+    for c in checks:
+        rep_pass = rep_pass & c
+    return out.select(
+        F.col(id_col),
+        F.col("top_ngram"),
+        F.round(top_frac, 6).alias("top_ngram_char_frac"),
+        F.round(dup_frac, 6).alias("dup_ngram_char_frac"),
+        rep_pass.alias("repetition_pass"),
+    )
+
+
 def _ngram_hash_array(text_col: str, n: int) -> Column:
     """md5 hashes of the lowercase word n-grams of a text column; docs with
     fewer than n tokens contribute their whole token string as one gram so

@@ -325,6 +325,35 @@ def test_gopher_signals_hand_checked(spark):
     assert got[2]["ellipsis_line_frac"] == 0.25
 
 
+def test_ngram_repetition_hand_checked(spark):
+    from financial_knowledge_graphs_spark.operators.text import (
+        ngram_repetition_signals,
+    )
+
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat"),
+        (2, "spam spam spam spam spam spam"),
+        (3, "hi"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in ngram_repetition_signals(df, top_n=2, dup_n=5).collect()}
+    # doc 1: all 2-grams unique (count 1) -> tie-break gram asc = "cat sat";
+    # its 6 chars over 17 total token chars
+    assert got[1]["top_ngram"] == "cat sat"
+    assert got[1]["top_ngram_char_frac"] == round(6 / 17, 6)
+    assert got[1]["dup_ngram_char_frac"] == 0.0
+    # doc 2: "spam spam" occurs 5x, 8 chars each = 40 over 24 total (overlap
+    # overcounts, the paper's convention); the 5-gram dups twice, 20 chars
+    assert got[2]["top_ngram"] == "spam spam"
+    assert got[2]["top_ngram_char_frac"] == round(40 / 24, 6)
+    assert got[2]["dup_ngram_char_frac"] == round(40 / 24, 6)
+    assert got[2]["repetition_pass"] is False
+    # doc 3: too short for any gram
+    assert got[3]["top_ngram"] is None
+    assert got[3]["top_ngram_char_frac"] == 0.0
+    assert got[3]["repetition_pass"] is True
+
+
 def test_decontaminate_hand_checked(spark):
     from financial_knowledge_graphs_spark.operators.text import decontaminate
 
