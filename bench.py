@@ -113,6 +113,8 @@ def main() -> None:
         "q_rolling_agg",
         "q_chunk_documents",
         "q_tfidf_top_terms",
+        "q_decontaminate",
+        "q_ngram_repetition",
     ]:
         fn = qs.get(name)
         if fn is None:

@@ -31,6 +31,7 @@ PICK = [
     "q_rolling_agg",           # single-sort shared rolling window
     "q_pack_chunks",           # window + agg sharing one partitioning
     "q_key_skew_profile",      # distributed top-K (TakeOrderedAndProject)
+    "q_decontaminate",         # broadcast test-gram semi-join, big side scanned once
 ]
 
 
