@@ -204,9 +204,15 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # AvailableNow stop, the next RUN's) diff base, and pinning at
         # planning time keeps it alive across arbitrarily long consumer
         # downtime (the Iceberg consumer-ref pattern; commit() is too late,
-        # see above). Inductively the current start was pinned when it was
-        # planned as an end. Decommission a consumer with drop_tag().
+        # see above). The START stays pinned under `{pin}.base` until the
+        # NEXT batch plans: a crash after planning but before completion
+        # replays this same (start, end) batch from the WAL, so releasing
+        # the start at planning time would expose the replay's diff base
+        # to retention GC during the downtime. Both tags are re-applied
+        # idempotently on replay. Decommission a consumer by dropping both.
         if self.pin and b_sid > 0:
+            if a_sid > 0:
+                m.tag_snapshot(self.table_path, f"{self.pin}.base", a_sid)
             m.tag_snapshot(self.table_path, self.pin, b_sid)
         if a_sid == b_sid:
             return [_ChangesPartition({"kind": "noop"})]
@@ -331,10 +337,13 @@ def stream_apply_changes(spark, src_table: str, dst_table: str,
     catch up).
 
     Retention: by default the consumer PINS its committed offset on the
-    source (``pin="auto"`` → a tag named from the replica path via the
-    reader's commit() hook), so the diff base survives GC no matter how
-    far behind the replica falls — drop the tag to decommission the
-    consumer. With ``pin=None`` the raw retention bound applies (an offset
+    source (``pin="auto"`` → a tag named from the replica path, applied at
+    batch PLANNING time; the batch's start stays pinned under
+    ``{pin}.base`` until the next batch plans, so even a crash mid-batch
+    replays cleanly), so the diff base survives GC no matter how far
+    behind the replica falls — drop BOTH tags (``name`` and
+    ``name + ".base"``) to decommission the consumer. With ``pin=None``
+    the raw retention bound applies (an offset
     older than SNAPSHOT_RETENTION commits raises, like an Iceberg
     incremental scan past expiry); re-seed from a full read then."""
     import hashlib

@@ -139,3 +139,48 @@ def test_stream_apply_changes_replicates_table(spark, tmp_warehouse):
     drain()
     assert rows_of(dst) == rows_of(src)
     assert m.snapshots(dst)[-1]["snapshot_id"] == before
+
+
+def test_pin_protects_replay_base_across_retention(spark, tmp_warehouse):
+    """A crash after a batch is PLANNED but before it completes replays the
+    same (start, end) batch from the WAL on restart. The start snapshot must
+    therefore stay pinned (under `{pin}.base`) until the NEXT batch plans —
+    releasing it at planning time would let retention GC expire the replay's
+    diff base during arbitrarily long consumer downtime."""
+    from pyspark.sql.types import StructType
+
+    from financial_knowledge_graphs_spark.streaming.cdc_source import (
+        _CHANGE_COL, _ChangesStreamReader,
+    )
+
+    t = os.path.join(tmp_warehouse, "pinned")
+    m.merge_upsert(spark, t, _mk(spark, [(f"k{i}", i) for i in range(8)]),
+                   ["k"], 2)
+    m.merge_upsert(spark, t, _mk(spark, [("k0", 100), ("n1", 1)]), ["k"], 2)
+    s1, s2 = (s["snapshot_id"] for s in m.snapshots(t)[-2:])
+
+    schema = StructType.fromJson(
+        m.read_graph_table(spark, t).schema.jsonValue()
+    ).add(_CHANGE_COL, "string", False)
+    reader = _ChangesStreamReader(t, schema, start_sid=0, pin="c1")
+
+    # plan the (s1 -> s2) batch; both ends must now be tagged
+    reader.partitions({"sid": s1}, {"sid": s2})
+    assert m.table_tags(t) == {"c1.base": s1, "c1": s2}
+
+    # consumer goes down; the table churns far past SNAPSHOT_RETENTION
+    for i in range(m.SNAPSHOT_RETENTION + 3):
+        m.merge_upsert(spark, t, _mk(spark, [(f"churn{i}", i)]), ["k"], 2)
+
+    # replay of the SAME planned batch still resolves both snapshots and
+    # yields the same delta rows it would have yielded before the churn
+    parts = reader.partitions({"sid": s1}, {"sid": s2})
+    rows = sorted(r for p in parts for r in reader.read(p))
+    want = sorted(tuple(r) for r in
+                  m.read_table_changes(spark, t, s1, s2).collect())
+    assert rows == want and ("k0", 100, "insert") in set(rows)
+
+    # the next batch's planning advances both tags, releasing s1
+    live = m._live_sid(t)
+    reader.partitions({"sid": s2}, {"sid": live})
+    assert m.table_tags(t) == {"c1.base": s2, "c1": live}
