@@ -31,7 +31,8 @@ from .linking import embedding_similarity_edges, name_keys, similarity_edges
 
 def canonical_mapping(mentions: DataFrame, max_block: int = 1000,
                       embedding_link: bool = False,
-                      embedding_threshold: float = 0.75) -> DataFrame:
+                      embedding_threshold: float = 0.75,
+                      cleanup: list | None = None) -> DataFrame:
     """(type, name) → canonical component + canonical entity_id.
 
     entity_id is content-addressed (sha2 of the component's min key), so
@@ -60,7 +61,16 @@ def canonical_mapping(mentions: DataFrame, max_block: int = 1000,
     mapped = keys.join(comp, "key", "left").withColumn(
         "comp", F.coalesce("comp", "key")  # singletons
     )
-    return _assign_entity_ids(mapped)
+    out = _assign_entity_ids(mapped)
+    # ownership of the keys cache passes to the caller via `cleanup`: once
+    # the returned mapping is materialized, unpersist it (the pipeline
+    # passes its batch-scoped _cleanup list). Leaving it cached for the
+    # session lifetime leaks the full distinct-surface ledger into executor
+    # storage on every full relink. Callers that pass no list (short-lived
+    # tests/tools) accept the session-scoped cache.
+    if cleanup is not None:
+        cleanup.append(keys)
+    return out
 
 
 def _assign_entity_ids(mapped: DataFrame) -> DataFrame:
@@ -388,8 +398,12 @@ def canonical_mapping_incremental(
 def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
     """One row per canonical entity; representative surface = most-mentioned
     name (count desc, name desc tiebreak — deterministic), attributes =
-    most-frequent non-null per column (batch form of the reference's
-    last-writer-wins attribute refresh, reference src/db/neo4j_handler.py:188-216).
+    greatest non-null per column within the surface (batch form of the
+    reference's last-writer-wins attribute refresh, reference
+    src/db/neo4j_handler.py:188-216). `max` rather than `first` because
+    `first` is partition-order dependent: a crash replay could pick a
+    different value, turn the vertices merge into a spurious rewrite, and
+    emit phantom CDC deltas for unchanged entities.
 
     ``mentions`` is whatever universe the caller canonicalized — the
     resumable pipeline passes its full surface_mentions ledger, so counts
@@ -404,11 +418,11 @@ def build_vertices(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
     # max_by(count, surface) per entity — deterministic via name tiebreak.
     per_surface = m.groupBy("entity_id", "type", "name").agg(
         F.count(F.lit(1)).alias("n"),
-        F.first("norm").alias("norm"),
-        F.first("companyName", ignorenulls=True).alias("companyName"),
-        F.first("ticker", ignorenulls=True).alias("ticker"),
-        F.first("industry", ignorenulls=True).alias("industry"),
-        F.first("country", ignorenulls=True).alias("country"),
+        F.first("norm").alias("norm"),  # norm is a function of the group key
+        F.max("companyName").alias("companyName"),
+        F.max("ticker").alias("ticker"),
+        F.max("industry").alias("industry"),
+        F.max("country").alias("country"),
     )
     rep = F.max(
         F.struct(
@@ -465,9 +479,15 @@ def build_triples(raw_triples: DataFrame, mentions: DataFrame,
     ok = joined.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
     dropped = joined.filter(F.col("subj").isNull() | F.col("obj").isNull())
 
-    # symmetric predicates canonicalized by sorted endpoints (SURVEY §1.3)
+    # symmetric predicates canonicalized by sorted endpoints (SURVEY §1.3).
+    # Name order must be TOTAL or both orientations of one fact survive:
+    # NULL names coalesce to '' (NULL > x is NULL -> never swapped) and
+    # name ties (distinct entities sharing a canon_name) tie-break on the
+    # non-null unique entity id.
     sym = F.lower("pred").isin("mergedwith", "partnerswith")
-    swap = sym & (F.col("subj_name") > F.col("obj_name"))
+    sn = F.coalesce(F.col("subj_name"), F.lit(""))
+    on = F.coalesce(F.col("obj_name"), F.lit(""))
+    swap = sym & ((sn > on) | ((sn == on) & (F.col("subj") > F.col("obj"))))
     triples = ok.select(
         "doc_id",
         F.when(swap, F.col("obj")).otherwise(F.col("subj")).alias("subj"),
@@ -559,20 +579,47 @@ def _next_version(bucket_dir: str) -> str:
     return f"v_{max(nums) + 1:07d}"
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory's entries (rename durability); best-effort on
+    filesystems that refuse O_DIRECTORY opens."""
+    import os
+
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _install_version(src_dir: str, bucket_dir: str) -> str:
     """Move a staged bucket dir to the next free immutable version name.
     Collision-tolerant: a concurrent writer may install the same v_N first
     (its rename wins, ours gets ENOTEMPTY/EEXIST) — rescan and take the
     next slot; version names only need uniqueness, the snapshot's bucket
-    map is what readers resolve."""
+    map is what readers resolve. Only collision errnos retry: anything
+    else (ENOSPC, EACCES, a vanished src) propagates immediately instead
+    of spinning 1000 rescans and masking the real failure."""
+    import errno
     import os
 
     for _ in range(1000):
         nxt = _next_version(bucket_dir)
         try:
             os.rename(src_dir, os.path.join(bucket_dir, nxt))
+            # make the rename itself durable BEFORE the snapshot commit
+            # references it: the commit's metadata dir is fsync'd, so an
+            # unfsync'd data-dir rename could be the only thing a power
+            # loss drops — a durable snapshot pointing at a vanished dir.
+            _fsync_dir(bucket_dir)
             return nxt
-        except OSError:
+        except OSError as e:
+            if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             continue
     raise RuntimeError(f"could not claim a version slot in {bucket_dir}")
 
@@ -626,18 +673,7 @@ def _max_meta_sid(table_path: str) -> int:
     """Highest metadata file id on disk — NOT the hint: a crash between the
     metadata write and the hint swap leaves an orphan metadata file whose id
     must not be reused by the replayed commit."""
-    import os
-    import re
-
-    d = _meta_dir(table_path)
-    if not os.path.isdir(d):
-        return 0
-    sids = [0]
-    for f in os.listdir(d):
-        m = re.fullmatch(r"v(\d+)\.metadata\.json", f)
-        if m:
-            sids.append(int(m.group(1)))
-    return max(sids)
+    return max(_meta_sids_on_disk(table_path), default=0)
 
 
 def _legacy_jsonl_snapshots(table_path: str) -> list[dict]:
@@ -931,6 +967,11 @@ def _commit_snapshot(table_path: str, buckets_map: dict[str, str],
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(md, "version-hint.text"))
+        # fsync the directory so the renames themselves survive power loss
+        # — POSIX allows a crash to drop a rename whose directory entry was
+        # never flushed, which would silently un-commit an acknowledged
+        # snapshot (a CDC consumer may already hold its sid as an offset).
+        _fsync_dir(md)
     return sid
 
 
@@ -974,7 +1015,10 @@ def _write_schema(table_path: str, schema) -> None:
     tmp = os.path.join(table_path, "._SCHEMA.tmp")
     with open(tmp, "w") as f:
         json.dump(schema.jsonValue(), f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(table_path, "_SCHEMA"))
+    _fsync_dir(table_path)
 
 
 def _read_schema(table_path: str):
@@ -1066,6 +1110,7 @@ def _write_tags(table_path: str, tags: dict[str, int]) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _tags_path(table_path))
+    _fsync_dir(os.path.dirname(_tags_path(table_path)))
 
 
 def tag_snapshot(table_path: str, name: str, snapshot_id: int | None = None) -> int:
@@ -1123,12 +1168,30 @@ def _gc_orphan_staging(table_path: str) -> None:
     prefix = os.path.basename(table_path) + "__staging"
     if not os.path.isdir(parent):
         return
+    def newest_mtime(p: str) -> float:
+        # liveness = the NEWEST mtime anywhere in the tree: the top-level
+        # dir's mtime freezes when the write job STARTS, so a live writer
+        # whose Spark write outlives the TTL would look orphaned by it —
+        # but its task files keep getting written, keeping the tree fresh.
+        newest = 0.0
+        for root, _dirs, files in os.walk(p):
+            try:
+                newest = max(newest, os.path.getmtime(root))
+            except OSError:
+                pass
+            for fn in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
+                except OSError:
+                    pass
+        return newest
+
     for d in os.listdir(parent):
         if not d.startswith(prefix):
             continue
         p = os.path.join(parent, d)
         try:
-            if os.path.getmtime(p) < _time.time() - ORPHAN_STAGING_TTL_S:
+            if newest_mtime(p) < _time.time() - ORPHAN_STAGING_TTL_S:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass  # raced with its own cleanup
@@ -1489,6 +1552,15 @@ def read_table_changes(spark: SparkSession, table_path: str,
 
     if to_snapshot is None:
         to_snapshot = _live_sid(table_path)
+    if from_snapshot > to_snapshot:
+        # a reversed range would run the diff with a/b swapped and emit
+        # every change with its type INVERTED — silent corruption for a
+        # replica applying it; fail loudly instead (corrupt offset, manual
+        # misuse).
+        raise ValueError(
+            f"read_table_changes: from_snapshot={from_snapshot} > "
+            f"to_snapshot={to_snapshot} for {table_path}"
+        )
     a = _snap(from_snapshot)
     b = _snap(to_snapshot)
 
@@ -1681,11 +1753,48 @@ def rollback_table(table_path: str, snapshot_id: int) -> int:
 
 def truncate_table(table_path: str) -> None:
     """Drop all rows (SURVEY §2.6 row 44) — the reference's detach-delete
-    teardown (reference src/db/neo4j_handler.py:356-360). Removing the
-    directory is the parquet emulation of Iceberg ``TRUNCATE TABLE``."""
+    teardown (reference src/db/neo4j_handler.py:356-360), with Iceberg
+    ``TRUNCATE`` semantics: a COMMITTED EMPTY SNAPSHOT (buckets={}) through
+    the ordinary CAS'd commit path, never metadata deletion. That keeps
+    snapshot ids monotone, which is what makes truncate safe against
+    everything around it:
+
+    - a concurrent merge's CAS genuinely fails (its base sid is no longer
+      live) instead of committing a bucket map that points at deleted dirs
+      — including the base_sid=0 first write, which a delete-the-metadata
+      truncate could never fence;
+    - a CDC consumer's checkpointed offset stays meaningful — the diff
+      across the truncate is 'delete everything', not an aliased replay of
+      reused snapshot ids;
+    - pre-truncate snapshots stay time-travelable within retention, and
+      retention GC (run here) reclaims the data dirs on the normal path.
+
+    A directory that never committed a snapshot (legacy flat parquet or
+    arbitrary files) has no commit machinery to fence — plain removal."""
     import shutil
 
-    shutil.rmtree(table_path, ignore_errors=True)
+    from pyspark.sql.types import StructType
+
+    state = _table_state(table_path)
+    if state is None or not state.get("snapshot_id"):
+        shutil.rmtree(table_path, ignore_errors=True)
+        return
+    for _ in range(MERGE_COMMIT_RETRIES):
+        schema_json = state.get("schema")
+        schema = (StructType.fromJson(schema_json) if schema_json
+                  else _read_schema(table_path))
+        try:
+            _commit_snapshot(
+                table_path, {}, state.get("n_buckets") or DEFAULT_MERGE_BUCKETS,
+                schema, stats={}, base_sid=state["snapshot_id"],
+            )
+            _gc_versions(table_path)
+            return
+        except CommitConflictError:
+            state = _table_state(table_path)  # a merge won the race; retry
+            if state is None:
+                return
+    raise CommitConflictError(f"truncate_table: commit contention on {table_path}")
 
 
 MERGE_COMMIT_RETRIES = 3
@@ -1727,14 +1836,29 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
-    for attempt in range(MERGE_COMMIT_RETRIES):
-        try:
-            return _merge_upsert_attempt(
-                spark, table_path, updates, keys, n_buckets, deletes, mode
-            )
-        except CommitConflictError:
-            if attempt == MERGE_COMMIT_RETRIES - 1:
-                raise
+    # dedup once and PERSIST: the attempt evaluates this frame 3-5 times
+    # (bucket-discovery collect, matched semi-join, survivors anti-join,
+    # data write, MOR delete write) — unpersisted, each evaluation re-runs
+    # the caller's full upstream plan, multiplied again per conflict retry.
+    # Key-dedup is table-state independent, so it caches across retries;
+    # only the __bucket column (depends on the live bucket count) is
+    # recomputed inside the attempt.
+    dedup = updates.dropDuplicates(keys).persist()
+    if deletes is not None:
+        deletes = deletes.select(*keys).dropDuplicates(keys).persist()
+    try:
+        for attempt in range(MERGE_COMMIT_RETRIES):
+            try:
+                return _merge_upsert_attempt(
+                    spark, table_path, dedup, keys, n_buckets, deletes, mode
+                )
+            except CommitConflictError:
+                if attempt == MERGE_COMMIT_RETRIES - 1:
+                    raise
+    finally:
+        dedup.unpersist()
+        if deletes is not None:
+            deletes.unpersist()
 
 
 def _merge_upsert_attempt(spark: SparkSession, table_path: str,
@@ -1764,7 +1888,10 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     # would silently coerce a type conflict into a runtime CAST error.
     schema = _evolve_schema((state or {}).get("schema"), updates.schema)
 
-    dedup = updates.dropDuplicates(keys).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+    # `updates` and `deletes` arrive key-deduped AND persisted from
+    # merge_upsert (see there); only the layout-dependent bucket column is
+    # added per attempt.
+    dedup = updates.withColumn("__bucket", _bucket_expr(keys, n_buckets))
     exists = state is not None or table_exists(table_path)
     # ONE driver-blocking job answers all three head questions (any update
     # rows? any delete rows? which buckets touched?) — these were three
@@ -1772,7 +1899,6 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     # merges a pipeline batch runs, the pure-latency tail added seconds.
     src = dedup.select("__bucket", F.lit(0).alias("__src"))
     if deletes is not None:
-        deletes = deletes.select(*keys).dropDuplicates(keys)
         src = src.unionByName(
             deletes.withColumn("__bucket", _bucket_expr(keys, n_buckets))
             .select("__bucket", F.lit(1).alias("__src"))

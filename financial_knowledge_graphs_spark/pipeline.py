@@ -280,6 +280,7 @@ def run_pipeline(
             mention_universe, max_block=cfg.max_block,
             embedding_link=cfg.embedding_link,
             embedding_threshold=cfg.embedding_threshold,
+            cleanup=_cleanup,
         ).persist()
         _cleanup.append(mapping)
         mapping_updates = mapping.select(*map_cols)

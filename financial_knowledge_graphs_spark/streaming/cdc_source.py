@@ -199,6 +199,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
         from ..operators import materialize as m
 
         a_sid, b_sid = int(start["sid"]), int(end["sid"])
+        # same reversed-range guard as read_table_changes: a corrupted or
+        # time-regressed offset pair (e.g. a lost hint rename resurrecting
+        # an older live sid) must fail loudly, not emit the diff with every
+        # change type inverted into a replica.
+        if a_sid > b_sid:
+            raise ValueError(
+                f"CDC offsets regressed for {self.table_path}: "
+                f"start={a_sid} > end={b_sid}")
         # consumer-offset pinning (`.option("pin", name)`): tag this
         # batch's END snapshot NOW — it is the next batch's (and, after an
         # AvailableNow stop, the next RUN's) diff base, and pinning at

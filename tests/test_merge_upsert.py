@@ -89,11 +89,28 @@ def test_legacy_flat_dir_migrates(spark, tmp_warehouse):
 
 
 def test_truncate(spark, tmp_warehouse):
+    """TRUNCATE = a committed EMPTY snapshot (Iceberg semantics): the table
+    keeps existing and reads as zero rows, snapshot ids stay monotone, and
+    the pre-truncate snapshot stays time-travelable within retention."""
     t = os.path.join(tmp_warehouse, "tbl")
     materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=4)
     assert materialize.table_exists(t)
+    sid_before = materialize.snapshots(t)[-1]["snapshot_id"]
     materialize.truncate_table(t)
-    assert not materialize.table_exists(t)
+    assert materialize.read_graph_table(spark, t).count() == 0
+    sid_after = materialize.snapshots(t)[-1]["snapshot_id"]
+    assert sid_after == sid_before + 1  # monotone, never reused
+    got = materialize.read_graph_table(spark, t, snapshot=sid_before).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("a", 1)]
+    # CDC across the truncate is 'delete everything', offsets stay valid
+    ch = {(r["k"], r["v"], r["_change_type"]) for r in
+          materialize.read_table_changes(spark, t, sid_before, sid_after).collect()}
+    assert ch == {("a", 1, "delete")}
+    # a directory with no committed snapshot has nothing to fence: removed
+    raw = os.path.join(tmp_warehouse, "raw_dir")
+    os.makedirs(raw)
+    materialize.truncate_table(raw)
+    assert not os.path.exists(raw)
 
 
 def test_snapshot_time_travel(spark, tmp_warehouse):
@@ -608,11 +625,14 @@ def test_read_table_changes_update_delete_and_from_zero(spark, tmp_warehouse):
     ch0 = {(r["k"], r["v"], r["_change_type"])
            for r in materialize.read_table_changes(spark, t, 0).collect()}
     assert ch0 == {("a", 9, "insert"), ("c", 3, "insert")}
-    # expired / unknown snapshot raises like time travel
+    # expired / unknown snapshot raises like time travel (a from beyond the
+    # live sid now trips the reversed-range guard first — equally loud)
     import pytest
 
-    with pytest.raises(ValueError, match="no snapshot 99"):
+    with pytest.raises(ValueError, match="99"):
         materialize.read_table_changes(spark, t, 99)
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        materialize.read_table_changes(spark, t, 99, 100)
 
 
 def test_pruned_scan_skips_files_by_column_bounds(spark, tmp_warehouse):
@@ -860,3 +880,68 @@ def test_corrupt_tags_file_fails_closed(spark, tmp_warehouse):
     materialize._gc_versions(t)  # no raise
     got = materialize.read_graph_table(spark, t, tag="pin")
     assert [(r["k"], r["v"]) for r in got.collect()] == [("a", 1)]
+
+
+def test_truncate_fences_concurrent_first_write(spark, tmp_warehouse):
+    """truncate commits through the CAS path, so even a writer whose base
+    sid is 0 (first write — un-fenceable by a delete-the-metadata truncate)
+    conflicts instead of committing a bucket map whose dirs are gone, and
+    the table stays recreatable afterwards."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "tbl_trunc2")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=4)
+    base = materialize.snapshots(t)[-1]["snapshot_id"]
+    materialize.truncate_table(t)
+    # a commit staged against the pre-truncate snapshot must CAS-fail
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(materialize.snapshots(t)[-1]["schema"])
+    with pytest.raises(materialize.CommitConflictError):
+        materialize._commit_snapshot(t, {}, 4, schema, base_sid=base)
+    # the lock file survives and the table is reusable
+    assert os.path.exists(os.path.join(t, "_metadata", ".commit.lock"))
+    materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=4)
+    got = [(r["k"], r["v"])
+           for r in materialize.read_graph_table(spark, t).collect()]
+    assert got == [("b", 2)]
+
+
+def test_read_table_changes_rejects_reversed_range(spark, tmp_warehouse):
+    """A reversed snapshot range would emit every change with its type
+    inverted — must fail loudly, not corrupt a replica."""
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "tbl_rev")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=2)
+    materialize.merge_upsert(spark, t, _mk(spark, [("b", 2)]), ["k"], n_buckets=2)
+    s1, s2 = (s["snapshot_id"] for s in materialize.snapshots(t)[-2:])
+    with pytest.raises(ValueError, match="from_snapshot"):
+        materialize.read_table_changes(spark, t, s2, s1)
+
+
+def test_orphan_staging_gc_spares_live_writers(spark, tmp_warehouse):
+    """Staging liveness = the NEWEST mtime in the tree, not the top-level
+    dir mtime (which freezes at write start): a >TTL-old dir whose task
+    files are still being written must survive GC; a truly dead one goes."""
+    import time
+
+    t = os.path.join(tmp_warehouse, "tbl_gc")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], n_buckets=2)
+    old_ts = time.time() - materialize.ORPHAN_STAGING_TTL_S - 60
+
+    dead = t + "__staging_dead"
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0"), "w") as f:
+        f.write("x")
+    os.utime(os.path.join(dead, "part-0"), (old_ts, old_ts))
+    os.utime(dead, (old_ts, old_ts))
+
+    live = t + "__staging_live"
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0"), "w") as f:
+        f.write("x")  # fresh mtime: the writer's tasks are still landing
+    os.utime(live, (old_ts, old_ts))  # top-level froze at write start
+
+    materialize._gc_orphan_staging(t)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)

@@ -292,3 +292,37 @@ def test_merge_on_read_pipeline_equals_cow(spark, small_corpus, tmp_warehouse):
         assert vb.exceptAll(va).count() == 0
     finally:
         shutil.rmtree(single, ignore_errors=True)
+
+
+def test_symmetric_swap_total_order(spark):
+    """Symmetric predicates must canonicalize BOTH orientations of a fact
+    to one row even when canon names are NULL or tie across distinct
+    entities — name order alone is partial (NULL > x is NULL; ties never
+    swap), so the swap tie-breaks on entity id."""
+    from financial_knowledge_graphs_spark.operators.materialize import (
+        build_triples,
+    )
+
+    mentions = spark.createDataFrame(
+        [("d1", "e1", "Company", "Aco", None, None, None, None),
+         ("d1", "e2", "Company", "Bco", None, None, None, None),
+         ("d2", "e1", "Company", "Bco", None, None, None, None),
+         ("d2", "e2", "Company", "Aco", None, None, None, None)],
+        "doc_id string, local_id string, type string, name string, "
+        "companyName string, ticker string, industry string, country string")
+    mapping = spark.createDataFrame(
+        [("Company", "Aco", 1, "ENT_A", "aco"),
+         ("Company", "Bco", 1, "ENT_B", "bco")],
+        "type string, name string, comp long, entity_id string, norm string")
+    # same fact in both orientations, one per doc; canon names are NULL
+    raw = spark.createDataFrame(
+        [("d1", "r1", "partnerswith", "e1", "e2", None, None, None),
+         ("d2", "r1", "partnerswith", "e1", "e2", None, None, None)],
+        "doc_id string, local_id string, pred string, src_local string, "
+        "tgt_local string, valueAmount double, percentage double, "
+        "transactionDate string")
+    # d1: e1=Aco(ENT_A) -> e2=Bco(ENT_B); d2: e1=Bco(ENT_B) -> e2=Aco(ENT_A)
+    triples, dropped, joined = build_triples(raw, mentions, mapping)
+    rows = {(r["subj"], r["obj"]) for r in triples.collect()}
+    joined.unpersist()
+    assert rows == {("ENT_A", "ENT_B")}, rows  # one orientation, both docs
