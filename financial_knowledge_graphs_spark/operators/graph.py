@@ -98,6 +98,13 @@ def pagerank(edges: DataFrame, iters: int = 10, damping_pct: int = 85,
     unlike float accumulation. This is what makes a cross-engine oracle
     (DuckDB re-running the same supersteps) hash-match bit-for-bit.
 
+    Headroom bound: a vertex's incoming contribution sum s must keep
+    ``damping_pct * s`` under int64 (s < ~1.08e17, i.e. ~1e8 vertices'
+    TOTAL rank mass landing on one vertex). Graphs beyond that need
+    PR_SCALE lowered a digit (trading one digit of rank precision) — left
+    as a knob rather than auto-rescaled because the oracle must apply the
+    identical arithmetic.
+
     Semantics: per-vertex rank starts at 1.0; each superstep a vertex
     receives ``teleport + damping * sum(rank[src] / out_deg[src])`` over its
     in-edges. Dangling-vertex mass is not redistributed (the common basic

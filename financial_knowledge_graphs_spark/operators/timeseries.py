@@ -134,6 +134,12 @@ def sessionize(
     event and whenever the gap since the previous event exceeds
     ``gap_seconds``. Adds ``session_col`` (1-based long, contiguous per
     key). Single shuffle: both windows share one (key, time) sort.
+
+    Time-zone note: NTZ timestamps are gap-compared after a cast through
+    the session time zone; this engine pins ``spark.sql.session.timeZone``
+    to UTC (session.py), where the cast is exact. Under a caller-supplied
+    DST session zone, naive gaps spanning a transition would be off by the
+    DST shift — keep the session zone fixed-offset for this operator.
     """
     w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
     # TIMESTAMP_NTZ (parquet default) has no direct numeric cast; route

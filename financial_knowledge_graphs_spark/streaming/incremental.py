@@ -6,7 +6,10 @@ module adds the natural streaming extension: a file stream over the
 documents table, extraction per micro-batch via ``foreachBatch`` (reusing
 the exact batch operators), checkpointed by Spark's own streaming
 checkpoint — so new document files are picked up incrementally with
-exactly-once sink appends.
+exactly-once OUTPUT: foreachBatch itself is at-least-once, so every
+foreachBatch sink here is idempotent per batch_id (partition-dir overwrite,
+keyed merge, or anti-joined append) and a crash-replayed micro-batch
+rewrites rather than duplicates.
 
 Canonicalization stays a downstream batch job (it is a global fixpoint over
 all mentions; running it per micro-batch would re-link the world every few
@@ -56,9 +59,16 @@ def stream_extract(
         )
         ext = extract.run_extraction(staged, udf).select(
             "doc_id", F.to_json("extraction").alias("extraction_json"),
-            F.lit(batch_id).alias("batch_id"),
         )
-        ext.write.mode("append").parquet(os.path.join(out_dir, "extractions"))
+        # idempotent sink: foreachBatch is at-least-once (offsets log before
+        # the batch, commit after), so a crash-replayed batch would DOUBLE
+        # its rows under a plain append. Writing each batch to its own
+        # batch_id=N partition dir with overwrite makes replay rewrite the
+        # same partition instead — exactly-once output. batch_id comes back
+        # as a partition column on read.
+        ext.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "extractions", f"batch_id={batch_id}")
+        )
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -125,7 +135,17 @@ def stream_build_graph(
             PipelineConfig(warehouse=warehouse, min_tokens=min_tokens,
                            stage_name="stream_extract"),
         )
-        dig.select("digest").distinct().write.mode("append").parquet(digests_path)
+        # append only genuinely-new digests: re-appending the whole batch's
+        # digests (already-seen duplicates included, and the entire batch on
+        # crash-replay) would grow the table beyond its distinct-digest
+        # count forever — every later batch re-scans that bloat.
+        fresh_dig = dig.select("digest").distinct()
+        if os.path.isdir(digests_path):
+            fresh_dig = fresh_dig.join(
+                spark.read.parquet(digests_path).select("digest"),
+                "digest", "left_anti",
+            )
+        fresh_dig.write.mode("append").parquet(digests_path)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -154,7 +174,15 @@ def stream_windowed_mention_rates(
     needs. Output mode append: a window's counts are emitted once, when the
     watermark passes its end.
     """
-    schema = schemas.DOCUMENTS.add("event_ts", "timestamp")
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    # COPY the shared schema: StructType.add mutates self, so using it on
+    # the module-level schemas.DOCUMENTS would permanently graft event_ts
+    # onto every later consumer in the process (and duplicate it on a
+    # second call here).
+    schema = StructType(
+        list(schemas.DOCUMENTS.fields) + [StructField("event_ts", TimestampType())]
+    )
     stream = spark.readStream.schema(schema).format("parquet").load(docs_dir)
     udf = extract.make_extract_udf(spark, alias_dict)
     withs = prep.with_story(stream)
@@ -228,8 +256,10 @@ def stream_running_company_counts(
     )
 
     def sink(batch_df, batch_id):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir
+        # per-batch partition overwrite = idempotent under foreachBatch's
+        # at-least-once replay (see stream_extract)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
     return (
@@ -263,6 +293,12 @@ def stream_sessionize_events(
     of the max watermarked event time) are NOT emitted in append mode —
     the standard streaming contract; they emit when later input closes
     them.
+
+    The ``watermark`` default of 0 seconds assumes per-key in-order input
+    ACROSS micro-batches: an event older than the stream's max seen event
+    time that arrives in a later batch is dropped by the watermark. For
+    out-of-order feeds pass a real delay (e.g. "10 minutes") — sessions
+    then close that much later, the usual latency/completeness trade.
     """
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, "
