@@ -1470,9 +1470,13 @@ def _kg_oracle_sql() -> dict[str, str]:
             tb AS ({lsh_tbl}),
             qs AS (SELECT vec_id AS query_id, v AS v_q, tbl, bucket FROM tb WHERE vec_id < 10),
             its AS (SELECT vec_id AS item_id, v AS v_i, tbl, bucket FROM tb),
+            -- mirror of lsh_topk's max_block bucket purge (default 2000)
+            big AS (SELECT tbl, bucket FROM its
+                    GROUP BY tbl, bucket HAVING count(*) > 2000),
+            its2 AS (SELECT its.* FROM its ANTI JOIN big USING (tbl, bucket)),
             cand AS (SELECT query_id, item_id,
                             any_value(v_q) AS v_q, any_value(v_i) AS v_i
-                     FROM its JOIN qs USING (tbl, bucket)
+                     FROM its2 JOIN qs USING (tbl, bucket)
                      WHERE item_id <> query_id GROUP BY 1, 2),
             scored AS (SELECT query_id, item_id,
                               list_dot_product(v_q, v_i)

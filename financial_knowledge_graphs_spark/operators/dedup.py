@@ -14,7 +14,16 @@ DuckDB implement identically — making every operator oracle-checkable.
 
 Scale notes: every pair-generating join is blocked (shingle, band, label);
 no operator ever materializes the full O(n²) cross product. Band/shingle
-blocks are capped (``max_block``) with the drop COUNT surfaced, not silent.
+blocks larger than ``max_block`` are purged — a recall/cost knob, never a
+correctness one (verify-after keeps every EMITTED pair exact). Hot blocks
+are measurable up front with ``skew.key_profile`` over the blocking key;
+raise ``max_block`` (or pre-filter boilerplate) when the profile shows
+heavy blocks you can't afford to skip.
+
+Cache ownership: the persisted intermediates inside these operators back
+the RETURNED lazy frame; in a long-lived session, release them after
+consuming the result (spark.catalog.clearCache() between suites, or pass
+``cleanup`` where offered elsewhere in this package).
 """
 
 from __future__ import annotations
@@ -74,11 +83,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
     Candidate generation uses EXACT prefix filtering (ppjoin): order each
     doc's shingles by a global total order (md5), keep only the first
-    ⌊(1-t)·|sh|⌋+1 as blocking keys. If J(A,B) ≥ t, A and B overlap in
-    > (1-t)·max(|A|,|B|) elements... equivalently each side can miss at most
-    ⌊(1-t)·|side|⌋ of its own elements from the intersection, so the
-    intersection always reaches into both prefixes — no recall loss, and
-    candidates drop by ~1/(1-t) vs full-shingle blocking.
+    |sh| - ⌈t·|sh|⌉ + 1 as blocking keys. If J(A,B) ≥ t then
+    |A∩B| ≥ ⌈t·|A|⌉, i.e. each side can miss at most |side| - ⌈t·|side|⌉
+    of its own elements from the intersection, so the intersection always
+    reaches into both prefixes — no recall loss, and candidates drop by
+    ~1/(1-t) vs full-shingle blocking. The ceil is computed with a 1e-9
+    slack because IEEE t·|sh| can land epsilon ABOVE an exact integer
+    (0.8·5 = 4.0000000000000002 → ceil 5 → a one-short prefix that loses
+    exactly-at-threshold pairs); the equivalent ⌊(1-t)·|sh|⌋+1 form fails
+    the same way from below (1-0.8 = 0.19999999999999996).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
@@ -88,7 +101,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # shuffle; instead dedupe (id_a, id_b) first, then join the two arrays
     # back for the verify step (each array crosses the wire once per side).
     prefix_len = (
-        F.floor(F.size("sh") * F.lit(1.0 - threshold)).cast("int") + F.lit(1)
+        F.size("sh")
+        - F.ceil(F.size("sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + F.lit(1)
     )
     ex = sh.select(
         "id",

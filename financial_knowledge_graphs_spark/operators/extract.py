@@ -125,10 +125,8 @@ def extract_document(text: str, gaz: Gazetteer) -> dict[str, Any]:
     ent_ids: dict[str, str] = {}
     entities: list[dict[str, Any]] = []
     start_of: dict[int, int] = {}   # mention start -> mention list idx
-    end_of: dict[int, int] = {}
     for i, (s, e, surface, rec) in enumerate(mentions):
         start_of[s] = i
-        end_of[e] = i
         key = rec["companyName"]
         if key not in ent_ids:
             ent_ids[key] = f"C{len(ent_ids) + 1}"

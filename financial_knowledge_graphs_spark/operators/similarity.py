@@ -78,10 +78,20 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, n_planes: int = 6, n_tables: int = 4) -> DataFrame:
+             dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+             max_block: int = 2000) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent sign-LSH tables of
     ``n_planes`` bits; candidates = items sharing a bucket with the query in
-    ANY table; exact cosine re-rank of candidates only."""
+    ANY table; exact cosine re-rank of candidates only.
+
+    Two scale guards (same discipline as the dedup family): item buckets
+    larger than ``max_block`` are purged — a degenerate corpus (many
+    near-identical or zero vectors) would otherwise regress to the full
+    items×queries cross product this path exists to avoid (recall for
+    vectors in purged buckets degrades to their OTHER tables' buckets);
+    and candidate (query_id, item_id) pairs are deduped ID-ONLY before the
+    vectors are joined back, so each dim-sized array crosses the shuffle
+    once per side instead of riding every candidate row."""
     tables = [
         [_plane(f"t{t}p{p}", dim) for p in range(n_planes)] for t in range(n_tables)
     ]
@@ -101,15 +111,37 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     items = with_buckets(embeddings, id_col, vec_col).withColumnRenamed(id_col, "item_id").withColumnRenamed("v", "v_i")
     qs = with_buckets(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id").withColumnRenamed("v", "v_q")
 
-    cands = (
-        items.join(F.broadcast(qs), ["table", "bucket"])
-        .filter(F.col("item_id") != F.col("query_id"))
-        .select("query_id", "item_id", "v_q", "v_i")
-        .dropDuplicates(["query_id", "item_id"])
+    item_keys = items.select("table", "bucket", "item_id")
+    big = (
+        item_keys.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") > max_block)
     )
-    scored = cands.select(
-        "query_id", "item_id",
-        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+    item_keys = item_keys.join(F.broadcast(big), ["table", "bucket"], "left_anti")
+    cand_ids = (
+        item_keys.join(
+            F.broadcast(qs.select("table", "bucket", "query_id")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    item_vecs = embeddings.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("v_i"),
+    )
+    query_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    )
+    scored = (
+        cand_ids.join(item_vecs, "item_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .select(
+            "query_id", "item_id",
+            F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (

@@ -197,12 +197,19 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
     )
     terms = docs.select("doc_id", F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select("doc_id").distinct().count()
+    # N as a broadcast 1-row aggregate, NOT an eager .count(): the operator
+    # stays lazy and single-pass — a driver-side count would execute the
+    # whole upstream lineage once for the scalar and again for the real job
+    nd = docs.agg(F.count_distinct("doc_id").alias("__n"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "score",
-        (F.col("tf").cast("double") * F.lit(float(n_docs + 1)))
-        / (F.col("df") + F.lit(1)).cast("double"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") * (F.col("__n") + F.lit(1)).cast("double"))
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

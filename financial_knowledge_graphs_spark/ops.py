@@ -37,6 +37,7 @@ class OpsStore:
         nums = [r["run_num"] for r in self.read("runs").select("run_num").collect()]
         n = (max(nums) + 1) if nums else 1
         run_id = f"run_{n}"
+        # read("runs") above already ran _recover for this path
         self.spark.createDataFrame(
             [(run_id, n)], "run_id string, run_num int"
         ).withColumn("created_at", F.current_timestamp()).write.mode("append").parquet(
@@ -69,6 +70,12 @@ class OpsStore:
             F.spark_partition_id().alias("partition_id"),
             F.current_timestamp().alias("updated_at"),
         )
+        # _recover BEFORE every append, not just reads: a crash between
+        # compact()'s two renames leaves the table parked at __retired; an
+        # append that recreated the live dir first would make the next
+        # _recover treat the swap as completed and delete the entire
+        # history sitting in __retired.
+        self._recover(self.checkpoints_path)
         out.write.mode("append").parquet(self.checkpoints_path)
 
     # -- lineage ------------------------------------------------------------
@@ -86,6 +93,7 @@ class OpsStore:
             "started_at", "finished_at",
             F.lit(status).alias("status"),
         )
+        self._recover(self.lineage_path)  # see checkpoint_docs
         row.write.mode("append").parquet(self.lineage_path)
 
     def log_partition_lineage(self, run_id: str, stage: str, df: DataFrame) -> None:
@@ -104,11 +112,13 @@ class OpsStore:
             F.current_timestamp().alias("finished_at"),
             F.lit("ok").alias("status"),
         )
+        self._recover(self.lineage_path)  # see checkpoint_docs
         out.write.mode("append").parquet(self.lineage_path)
 
     # -- metrics ------------------------------------------------------------
     def log_metrics(self, run_id: str, stage: str, values: dict[str, float]) -> None:
         rows = [(run_id, stage, k, float(v)) for k, v in values.items()]
+        self._recover(self.metrics_path)  # see checkpoint_docs
         self.spark.createDataFrame(rows, schemas.METRICS).write.mode("append").parquet(
             self.metrics_path
         )

@@ -432,3 +432,19 @@ def test_pack_chunks_hand_checked(spark):
     # packing reuses the window's partitioning: exactly one Exchange
     plan = pack_chunks(ch, budget=8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ngram_jaccard_exact_threshold_pair_not_missed(spark):
+    """ppjoin prefix regression: with t=0.8 and |A|=5, IEEE floor((1-t)*5)+1
+    gave a one-short prefix; if A's only non-shared shingle had the smallest
+    md5, the exactly-at-threshold pair (J=4/5) was silently missed. 's' has
+    the smallest md5 among {s,a,h,l,y} — the adversarial layout."""
+    from financial_knowledge_graphs_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s a h l y"), (2, "a h l y")], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=1, threshold=0.8).collect()}
+    assert got == {(1, 2): 0.8}

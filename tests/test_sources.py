@@ -301,3 +301,13 @@ def test_ops_compaction_and_crash_recovery(spark, tmp_warehouse):
     os.makedirs(ops.metrics_path + "__compact")
     assert sorted(map(tuple, ops.read("metrics").collect())) == before
     assert os.path.isdir(ops.metrics_path)
+
+    # crash mid-swap followed by an APPEND (not a read) first: the append
+    # must recover the parked history before writing — without that, a
+    # later _recover would see the recreated live dir and rmtree __retired,
+    # silently destroying the table's whole history
+    os.rename(ops.metrics_path, ops.metrics_path + "__retired")
+    ops.log_metrics("run_2", "s", {"m": 99.0})
+    got = sorted(map(tuple, ops.read("metrics").collect()))
+    assert len(got) == len(before) + 1
+    assert ("run_2", "s", "m", 99.0) in set(got)
