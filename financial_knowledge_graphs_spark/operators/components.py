@@ -93,6 +93,15 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    else:
+        # same contract as graph.weakly_connected_components: a silent
+        # return here would hand back a partially-propagated labeling —
+        # one real component split into several, i.e. one company getting
+        # multiple entity_ids with no error anywhere downstream.
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"(component diameter exceeds max_iter — raise max_iter)")
     e.unpersist()
     return comp.select(F.col("id").alias(id_col), "comp")
 

@@ -222,8 +222,12 @@ def per_doc_metrics(pred_json: DataFrame, gt_json: DataFrame,
 
 
 def corpus_metrics(doc_metrics: DataFrame) -> dict[str, float]:
-    """Micro-averaged corpus roll-up (reference :316-332)."""
-    agg = doc_metrics.agg(*[F.sum(c).alias(c) for c in _COUNT_COLS]).collect()[0]
+    """Micro-averaged corpus roll-up (reference :316-332). Sums coalesce to
+    0 so an EMPTY doc_metrics (disjoint doc ids, wrong GT path) yields
+    all-zero metrics instead of a TypeError on None."""
+    agg = doc_metrics.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in _COUNT_COLS]
+    ).collect()[0]
 
     def prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
         p = tp / (tp + fp) if (tp + fp) > 0 else 0.0

@@ -16,7 +16,10 @@ reference src/db/neo4j_handler.py:100-134) with a blocked similarity join:
 4. oversized blocks (degenerate tokens like 'bank') are capped: tokens whose
    block exceeds ``max_block`` names are dropped from blocking — any pair
    that satisfies Jaccard > 0.5 on ≤3-token names shares a rarer token too,
-   and longer names lose at most marginal recall (logged, not silent).
+   and longer names lose at most marginal recall. The purge is a recall
+   knob, never a correctness one (the verify predicate is exact on every
+   emitted pair); profile hot blocking tokens up front with
+   ``skew.key_profile`` when tuning ``max_block``.
 
 The shape (token blocking + oversized-block purging before a pair-wise
 verify) is the standard distributed entity-resolution design — cf. SparkER
@@ -25,7 +28,7 @@ verify) is the standard distributed entity-resolution design — cf. SparkER
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .normalize import norm_tokens_expr, normalize_name_expr
@@ -182,31 +185,39 @@ def embedding_similarity_edges(keys: DataFrame, threshold: float = 0.75,
         "nrm",
         F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, x: s + x * x)),
     )
-    ex = v.select("key", "type", "vec", "nrm", *anchor_cols,
-                  F.explode("grams").alias("bk"))
+    # blocking is ID-ONLY: exploding with the dense dim-sized vector
+    # attached would replicate each ~2KB array once per gram through the
+    # shuffle and re-score each pair once per SHARED gram before dedup;
+    # instead dedupe (key_a, key_b) first, then join the vectors back and
+    # compute the cosine exactly once per candidate pair (the same
+    # filter-then-dedupe discipline as similarity_edges and lsh_topk).
+    ex = v.select("key", "type", *anchor_cols, F.explode("grams").alias("bk"))
     sizes = ex.groupBy("type", "bk").agg(F.count(F.lit(1)).alias("bs"))
     ex = ex.join(F.broadcast(sizes.filter(F.col("bs") > max_block)), ["type", "bk"], "left_anti")
     a = ex.select(
         "type", "bk", F.col("key").alias("key_a"),
-        F.col("vec").alias("va"), F.col("nrm").alias("na"),
         *([F.col(anchor).alias("anchor_a")] if anchor else []),
     )
     b = ex.select(
         "type", "bk", F.col("key").alias("key_b"),
-        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
         *([F.col(anchor).alias("anchor_b")] if anchor else []),
     )
+    pairs = a.join(b, ["type", "bk"]).filter(F.col("key_a") < F.col("key_b"))
+    if anchor:
+        pairs = pairs.filter(F.col("anchor_a") | F.col("anchor_b"))
+    pairs = pairs.select("key_a", "key_b").distinct()
+    vecs = v.select("key", "vec", "nrm")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
     cos = F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
-    pairs = a.join(b, ["type", "bk"]).filter(F.col("key_a") < F.col("key_b"))
-    if anchor:
-        pairs = pairs.filter(F.col("anchor_a") | F.col("anchor_b"))
     return (
         pairs
+        .join(vecs.select(F.col("key").alias("key_a"), F.col("vec").alias("va"),
+                          F.col("nrm").alias("na")), "key_a")
+        .join(vecs.select(F.col("key").alias("key_b"), F.col("vec").alias("vb"),
+                          F.col("nrm").alias("nb")), "key_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
-        .dropDuplicates(["key_a", "key_b"])
     )

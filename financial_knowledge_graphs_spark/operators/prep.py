@@ -136,8 +136,6 @@ def stratified_sample(docs: DataFrame, strata_col: str, n_per_stratum: int,
     in any engine. One shuffle keyed by the stratum; a hub stratum's
     sort is bounded by that stratum's rows — for pathological strata,
     pre-filter with a hash-prefix predicate before ranking."""
-    from pyspark.sql import Window
-
     r = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(strata_col).orderBy(r.asc(), F.col(id_col).asc())
     return (

@@ -55,9 +55,15 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
             f"got how={how!r} (unmatched small-side rows would be replicated "
             f"{salt}x under right/full outer)"
         )
+    # the salt must be DETERMINISTIC per row: monotonically_increasing_id
+    # changes on task retry/speculation, and a nondeterministic shuffle key
+    # silently loses/duplicates rows when a map task is recomputed after
+    # some reducers already fetched its old output. Hash the whole row
+    # instead — stable across retries, and it still spreads a hot key's
+    # distinct payload rows over the salt space.
     big_s = big.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                F.lit(salt)).cast("int"),
     )
     small_s = small.withColumn(

@@ -36,8 +36,14 @@ def read_articles_csv(spark: SparkSession, path: str) -> DataFrame:
     """CSV scan with explicit schema (SURVEY §2.1 row 1; replaces
     pd.read_csv at reference file_utils.py:267). Schema-on-write: malformed
     rows land in _corrupt_record instead of crashing."""
+    # COPY the shared schema — StructType.add mutates self, so a second
+    # call would stack duplicate _corrupt_record fields onto the module
+    # constant (and every other consumer of ARTICLES_CSV)
+    schema = StructType(
+        list(ARTICLES_CSV.fields) + [StructField("_corrupt_record", StringType())]
+    )
     return (
-        spark.read.schema(ARTICLES_CSV.add("_corrupt_record", StringType()))
+        spark.read.schema(schema)
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
@@ -132,12 +138,15 @@ def read_articles_excel(spark: SparkSession, path: str) -> DataFrame:
     reference reads config-sized sheets, so this is a driver-side load:
     pandas' engine when installed, else the vendored stdlib xlsx reader
     (round 1 raised NotImplementedError without openpyxl; VERDICT missing #6)."""
-    import pandas as pd
-
     try:
+        import pandas as pd  # inside the try: missing PANDAS must also
+        # fall back to the vendored reader, not just missing openpyxl
+
         pdf = pd.read_excel(path)
-        return spark.createDataFrame(pdf.astype(str))
-    except ImportError:  # openpyxl/xlrd not installed in this env
+        # blank cells are NaN; fillna BEFORE astype or they become the
+        # literal string 'nan' (the vendored fallback yields '')
+        return spark.createDataFrame(pdf.fillna("").astype(str))
+    except ImportError:  # pandas/openpyxl/xlrd not installed in this env
         rows = _read_xlsx_minimal(path)
         if not rows:
             return spark.createDataFrame([], "newsID string")
