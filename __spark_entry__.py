@@ -1159,7 +1159,7 @@ def _norm_sql(col: str) -> str:
                        regexp_split_to_array(
                          regexp_replace(
                            regexp_replace(lower({col}), '[\\s,]+(inc|corp|co|ltd|llc)\\.?$', ''),
-                           '[^\\w\\s]', ' ', 'g'),
+                           '[^\\p{{L}}\\p{{N}}_]', ' ', 'g'),
                          '\\s+'),
                        w -> length(w) > 1 AND NOT list_contains({_SUFFIX_LIST}, w)),
                      ' ')"""

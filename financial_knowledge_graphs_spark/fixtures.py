@@ -213,6 +213,10 @@ def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
     if rng.random() < 0.30 and n_comp > 1:
         chosen.append(0)
     n_target = rng.randint(2, 4)
+    # clamp to the reachable universe (index 0 is only drawable pre-loop):
+    # with n_companies <= 4 an unclamped target would spin forever. No rng
+    # call, so the committed fixture's draw sequence is untouched.
+    n_target = min(n_target, max(1, n_comp - 1 + (1 if 0 in chosen else 0)))
     while len(chosen) < n_target:
         if rng.random() < 0.25 and n_comp > 11:
             c = rng.randint(1, 10)  # mid-frequency block
@@ -225,10 +229,10 @@ def _gen_good_doc(doc_idx: int, companies: list[dict[str, Any]], seed: int,
             chosen.append(c)
 
     ents = [companies[c] for c in chosen]
-    surface = {
-        c["idx"]: aliases_for(c, typos)[rng.randrange(len(aliases_for(c, typos)))]
-        for c in ents
-    }
+    surface: dict[int, str] = {}
+    for c in ents:
+        al = aliases_for(c, typos)  # build once, not twice per entity
+        surface[c["idx"]] = al[rng.randrange(len(al))]
 
     sentences: list[str] = []
     # ~10% of docs carry zero relationships (FIXTURES.md §3)

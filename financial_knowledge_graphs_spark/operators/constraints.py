@@ -65,13 +65,39 @@ def domain_violations(df: DataFrame, domains: dict[str, list[str]]) -> DataFrame
     return df.filter(reduce(lambda a, b: a | b, conds)) if conds else df.limit(0)
 
 
-def conform(df: DataFrame, schema: StructType) -> DataFrame:
+def conform(df: DataFrame, schema: StructType, keep: list[str] | None = None) -> DataFrame:
     """Project + cast to exactly the declared schema. Missing columns raise
-    (writer bug); extra columns are dropped (pruned before the shuffle)."""
+    (writer bug); extra columns are dropped (pruned before the shuffle).
+
+    try_cast, not cast: Spark 4 runs ANSI mode by default, where a plain
+    cast of one un-castable value ('N/A' → double) fails the WHOLE job —
+    defeating drop/report modes, whose purpose is to quarantine bad rows.
+    An un-castable value becomes NULL here and is SURFACED by enforce()'s
+    cast-violation tags (computed on the pre-cast values), never silently
+    passed through."""
     missing = [f.name for f in schema.fields if f.name not in df.columns]
     if missing:
         raise ConstraintViolation(f"missing columns for schema: {missing}")
-    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+    return df.select(
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields],
+        *[F.col(k) for k in (keep or [])],
+    )
+
+
+def _cast_violation_tags(df: DataFrame, schema: StructType) -> list:
+    """One WHEN tag per field whose source type differs: value present but
+    try_cast comes back NULL — the row would otherwise null through every
+    downstream CHECK (NULL passes domain constraints)."""
+    src = {f.name: f.dataType for f in df.schema.fields}
+    return [
+        F.when(
+            F.col(f.name).isNotNull()
+            & F.col(f.name).try_cast(f.dataType).isNull(),
+            F.lit(f"cast:{f.name}"),
+        )
+        for f in schema.fields
+        if f.name in src and src[f.name] != f.dataType
+    ]
 
 
 def violations(df: DataFrame, cons: Constraints) -> DataFrame:
@@ -119,8 +145,22 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
                   (null = clean) for the caller to route to a quarantine
                   table.
     """
-    d = conform(df, cons.schema)
+    from functools import reduce
+
+    cast_tags = _cast_violation_tags(df, cons.schema)
+    cast_bad = (
+        reduce(lambda a, b: a | b, [t.isNotNull() for t in cast_tags])
+        if cast_tags else F.lit(False)
+    )
     if mode == "error":
+        if cast_tags and df.filter(cast_bad).limit(1).count():
+            sample = [
+                next(v for v in r if v is not None)
+                for r in df.filter(cast_bad)
+                .select(*cast_tags).limit(5).collect()
+            ]
+            raise ConstraintViolation(f"constraint violations (e.g. {sample})")
+        d = conform(df, cons.schema)
         bad = violations(d, cons)
         n = bad.limit(1).count()
         if n:
@@ -128,6 +168,7 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
             raise ConstraintViolation(f"constraint violations (e.g. {sample})")
         return d
     if mode == "drop":
+        d = conform(df.filter(~cast_bad), cons.schema)
         for c in cons.not_null:
             d = d.filter(F.col(c).isNotNull())
         d = domain_filter(d, cons.domains)
@@ -147,6 +188,16 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
             )
         return d
     if mode == "report":
+        # cast tags are computed on the PRE-cast values and carried through
+        # the conforming projection; all other tags on the conformed frame
+        d = conform(
+            df.withColumn(
+                "__cast_viol",
+                F.filter(F.array(*cast_tags), lambda x: x.isNotNull())
+                if cast_tags else F.array().cast("array<string>"),
+            ),
+            cons.schema, keep=["__cast_viol"],
+        )
         # inline tags (no join — a join on the full row would drop null-key
         # matches and re-shuffle the whole frame)
         tags = [
@@ -163,10 +214,10 @@ def enforce(df: DataFrame, cons: Constraints, mode: str = "error") -> DataFrame:
                 F.when((~_any_null(key)) & (F.count(F.lit(1)).over(w) > 1),
                        F.lit(f"unique:{','.join(key)}"))
             )
-        tag_col = F.concat_ws(
-            ";", F.filter(F.array(*tags), lambda x: x.isNotNull())
-        ) if tags else F.lit("")
+        inline = (F.filter(F.array(*tags), lambda x: x.isNotNull())
+                  if tags else F.array().cast("array<string>"))
+        tag_col = F.concat_ws(";", F.concat(F.col("__cast_viol"), inline))
         return d.withColumn(
             "violation", F.when(tag_col == "", F.lit(None)).otherwise(tag_col)
-        )
+        ).drop("__cast_viol")
     raise ValueError(f"unknown mode {mode!r}")

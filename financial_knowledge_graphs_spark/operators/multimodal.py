@@ -63,7 +63,7 @@ def media_table(documents: DataFrame) -> DataFrame:
         F.col("s.kind") != "text"
     )
     ref = F.col("s.media_ref")
-    payload = F.unbase64(F.base64(F.encode(F.repeat(F.sha2(ref, 256), 4), "utf-8")))
+    payload = F.encode(F.repeat(F.sha2(ref, 256), 4), "utf-8")
     return spans.select(
         "doc_id",
         ref.alias("media_ref"),
@@ -73,7 +73,12 @@ def media_table(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit("application/octet-stream")).alias("mime"),
         F.when(F.col("s.kind") == "image", F.lit(64)).cast("int").alias("width"),
         F.when(F.col("s.kind") == "image", F.lit(64)).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        # deterministic synthetic duration for videos (1-31 s from the ref
+        # hash) — the stand-in for container metadata; NULL elsewhere
+        F.when(
+            F.col("s.kind") == "video",
+            (F.pmod(F.xxhash64(ref), F.lit(30_000)) + F.lit(1_000)),
+        ).cast("long").alias("duration_ms"),
     )
 
 
@@ -95,26 +100,32 @@ def extract_features(media: DataFrame, fake: bool = True,
                      batch_hint: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
-    mapInPandas keeps the payload column zero-copy through Arrow; at scale
-    this stage is preceded by ``repartition`` on doc_id so one task holds
-    ~batch_hint payloads (bounded memory per Python worker)."""
+    mapInPandas keeps the payload column zero-copy through Arrow;
+    ``batch_hint`` bounds how many payloads are decoded and buffered per
+    yielded frame (Arrow hands us up to
+    spark.sql.execution.arrow.maxRecordsPerBatch rows at once — with
+    multi-MB real payloads that is the memory knob that matters)."""
+
+    step = max(1, batch_hint)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [
-                _decode_bytes(p, k, fake)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_ref": pdf["media_ref"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "checksum": [hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]],
-                    "features": feats,
-                }
-            )
+        for full in batches:
+            for lo in range(0, len(full), step):
+                pdf = full.iloc[lo:lo + step]
+                feats = [
+                    _decode_bytes(p, k, fake)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_ref": pdf["media_ref"],
+                        "kind": pdf["kind"],
+                        "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                        "checksum": [hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]],
+                        "features": feats,
+                    }
+                )
 
     return media.mapInPandas(run, FEATURES)
 
@@ -139,31 +150,35 @@ def resize(media: DataFrame, width: int = 32, height: int = 32,
         reps = (w * h * 3) // len(h0) + 1
         return (h0 * reps)[: w * h * 3]
 
+    step = max(1, batch_hint)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            is_img = pdf["kind"] == "image"
-            out = pdf.copy()
-            out["payload"] = [
-                _resize_bytes(p, width, height, fake) if img else p
-                for p, img in zip(pdf["payload"], is_img)
-            ]
-            out["width"] = [width if img else w for w, img in zip(pdf["width"], is_img)]
-            out["height"] = [height if img else h for h, img in zip(pdf["height"], is_img)]
-            yield out
+        for full in batches:
+            for lo in range(0, len(full), step):  # batch_hint bounds memory
+                pdf = full.iloc[lo:lo + step]
+                is_img = pdf["kind"] == "image"
+                out = pdf.copy()
+                out["payload"] = [
+                    _resize_bytes(p, width, height, fake) if img else p
+                    for p, img in zip(pdf["payload"], is_img)
+                ]
+                out["width"] = [width if img else w for w, img in zip(pdf["width"], is_img)]
+                out["height"] = [height if img else h for h, img in zip(pdf["height"], is_img)]
+                yield out
 
     return media.mapInPandas(run, MEDIA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per sampled
-    frame index (duration-driven). Decode stubbed like extract_features."""
-    frames = media.filter(F.col("kind") == "video").select(
+    frame instant (t = 0, every_ms, 2·every_ms, … < duration_ms). Decode
+    stubbed like extract_features. A NULL/zero duration emits NO frames
+    (previously it emitted a phantom frame 0, and an exact-multiple
+    duration lost its last in-range frame)."""
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    last = F.floor((dur - F.lit(1)) / F.lit(every_ms)).cast("long")
+    frames = media.filter((F.col("kind") == "video") & (dur > 0)).select(
         "doc_id", "media_ref",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms - 1, F.lit(0)).cast("long"),
-            )
-        ).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("frame_idx"),
     )
     return frames

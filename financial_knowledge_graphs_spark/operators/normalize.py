@@ -22,14 +22,22 @@ COMMON_SUFFIXES = [
 ]
 
 _TRAILING = r"[\s,]+(inc|corp|co|ltd|llc)\.?$"   # reference :60
-_NONWORD = r"[^\w\s]"                            # reference :63
+_NONWORD = r"[^\w\s]"                            # reference :63 (Python twin)
+# Engine twin of _NONWORD: Java regex / RE2 \w is ASCII-only while the
+# reference's Python \w is Unicode (L* ∪ N* ∪ _), so the raw pattern would
+# mangle 'Société Générale' → 'soci rale' in production while the reference
+# keeps it. Replacing everything OUTSIDE the Unicode word class with a
+# space is token-equivalent to the reference pipeline: in both, the final
+# tokens are the maximal runs of word characters (whitespace and replaced
+# chars are equally separators).
+_NONWORD_ENGINE = r"[^\p{L}\p{N}_]"
 
 
 def normalize_name_expr(col: Column | str) -> Column:
     """Catalyst-native normalization; whole-stage-codegen friendly."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     c = F.regexp_replace(c, _TRAILING, "")
-    c = F.regexp_replace(c, _NONWORD, " ")
+    c = F.regexp_replace(c, _NONWORD_ENGINE, " ")
     words = F.filter(
         F.split(c, r"\s+"),
         lambda w: (F.length(w) > 1) & ~w.isin(*COMMON_SUFFIXES),

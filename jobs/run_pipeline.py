@@ -37,6 +37,10 @@ def main() -> None:
     spark = get_spark("fkg-pipeline", master=args.master)
     docs = spark.read.parquet(args.docs)
     alias = spark.read.parquet(args.alias)
+    if args.new_run and args.run_id:
+        # mutually exclusive: --new-run would silently discard the explicit
+        # --run-id (and its resume/checkpoint state)
+        ap.error("--run-id and --new-run are mutually exclusive")
     run_id = args.run_id
     if args.new_run:
         from financial_knowledge_graphs_spark.ops import OpsStore

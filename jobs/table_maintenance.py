@@ -127,13 +127,19 @@ def main() -> None:
         elif args.cmd == "changes":
             from pyspark.sql import functions as F
 
-            df = m.read_table_changes(spark, t, args.from_sid, args.to_sid)
+            # resolve the live sid NOW so the consumer can pin its next
+            # --from offset (printing "to": null loses the offset and a
+            # re-poll would re-apply the same delta)
+            to_sid = (args.to_sid if args.to_sid is not None
+                      else m.snapshots(t)[-1]["snapshot_id"])
+            df = m.read_table_changes(spark, t, args.from_sid, to_sid)
             if args.out:
                 df.write.mode("overwrite").parquet(args.out)
+                df = spark.read.parquet(args.out)  # don't re-run the diff
             counts = {r["_change_type"]: r["n"] for r in
                       df.groupBy("_change_type")
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
-            print(json.dumps({"from": args.from_sid, "to": args.to_sid,
+            print(json.dumps({"from": args.from_sid, "to": to_sid,
                               "out": args.out, "counts": counts}))
     finally:
         spark.stop()

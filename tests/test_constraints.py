@@ -110,3 +110,31 @@ def test_pipeline_vocab_helpers(spark):
     assert domain_filter(df, vocab).count() == 1
     bad = domain_violations(df, vocab).collect()
     assert len(bad) == 1 and bad[0]["pred"] == "novelPred"
+
+
+def test_cast_violations_quarantined_not_crashing(spark):
+    """Spark 4 runs ANSI mode: a plain cast of 'N/A' -> double fails the
+    whole job, defeating drop/report. conform() try_casts and enforce()
+    surfaces the failure as a cast:<col> violation computed on the
+    pre-cast value (it must not null through the domain CHECKs)."""
+    import pytest
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from financial_knowledge_graphs_spark.operators import constraints as C
+
+    schema = StructType([StructField("k", StringType()),
+                         StructField("v", DoubleType())])
+    df = spark.createDataFrame(
+        [("a", "1.5"), ("b", "N/A"), ("c", None)], "k string, v string")
+    cons = C.Constraints(schema=schema)
+
+    rep = {r["k"]: r["violation"]
+           for r in C.enforce(df, cons, mode="report").collect()}
+    assert rep["a"] is None and rep["c"] is None
+    assert rep["b"] == "cast:v"
+
+    kept = {r["k"]: r["v"] for r in C.enforce(df, cons, mode="drop").collect()}
+    assert kept == {"a": 1.5, "c": None}
+
+    with pytest.raises(C.ConstraintViolation, match="cast:v"):
+        C.enforce(df, cons, mode="error")

@@ -186,7 +186,22 @@ def test_multimodal_resize_and_frame_sample(spark, small_corpus):
     )
     frames = multimodal.frame_sample(vids, every_ms=1000)
     per_ref = frames.groupBy("media_ref").count().collect()
-    assert all(r["count"] == 3 for r in per_ref)  # ceil(3500/1000)-1 + idx0
+    # sample instants 0,1000,2000,3000 are all < 3500 -> 4 frames
+    assert all(r["count"] == 4 for r in per_ref)
+    # exact multiple: instants 0,1000,2000 < 3000 -> 3 frames (the last
+    # in-range frame must not be lost)
+    exact = vids.withColumn("duration_ms", F.lit(3000).cast("long"))
+    assert all(r["count"] == 3 for r in
+               multimodal.frame_sample(exact, every_ms=1000)
+               .groupBy("media_ref").count().collect())
+    # NULL/zero duration: no phantom frame 0
+    nul = vids.withColumn("duration_ms", F.lit(None).cast("long"))
+    assert multimodal.frame_sample(nul, every_ms=1000).count() == 0
+    # media_table now synthesizes a deterministic positive video duration
+    assert media.filter(
+        (F.col("kind") == "video")
+        & ((F.col("duration_ms").isNull()) | (F.col("duration_ms") <= 0))
+    ).count() == 0
 
 
 def test_neardup_clusters_collapse_and_keeper(spark, docs):

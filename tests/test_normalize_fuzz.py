@@ -59,13 +59,16 @@ def test_token_sort_ratio_order_insensitive():
 
 def test_property_spark_expr_matches_python_twin_on_random_strings(spark):
     """Property check: the Catalyst normalization expression and the pure-
-    Python reference twin agree on arbitrary printable-ASCII names (the twin
-    is itself asserted against reference examples above)."""
+    Python reference twin agree on arbitrary names — including non-ASCII
+    letters/digits, where Java regex \\w is ASCII-only and the engine must
+    use the explicit Unicode word class to match Python's \\w (the twin is
+    itself asserted against reference examples above)."""
     import random
     import string
 
     rnd = random.Random(1234)
-    alphabet = string.ascii_letters + string.digits + " .,&-'()/:;$%"
+    alphabet = (string.ascii_letters + string.digits + " .,&-'()/:;$%"
+                + "éàüßñçØœ株式会社№٣")
     suffixes = ["", " Inc.", ", Inc", " Corp", " Co.", " Ltd", " llc",
                 " Group", " Holdings", " co", "  ", " a", " AB"]
     names = []
