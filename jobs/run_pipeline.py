@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=250)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.new_run and args.run_id:
+        # mutually exclusive: --new-run would silently discard the explicit
+        # --run-id (and its resume/checkpoint state); fail before any work
+        ap.error("--run-id and --new-run are mutually exclusive")
 
     from financial_knowledge_graphs_spark.pipeline import PipelineConfig, run_pipeline
     from financial_knowledge_graphs_spark.session import get_spark
@@ -37,10 +41,6 @@ def main() -> None:
     spark = get_spark("fkg-pipeline", master=args.master)
     docs = spark.read.parquet(args.docs)
     alias = spark.read.parquet(args.alias)
-    if args.new_run and args.run_id:
-        # mutually exclusive: --new-run would silently discard the explicit
-        # --run-id (and its resume/checkpoint state)
-        ap.error("--run-id and --new-run are mutually exclusive")
     run_id = args.run_id
     if args.new_run:
         from financial_knowledge_graphs_spark.ops import OpsStore
