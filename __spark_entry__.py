@@ -289,6 +289,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 span-level dedup: remove all but the first occurrence of any
+    duplicated 3-sentence span. An md5-subset of docs gains a shared
+    3-sentence block so the row is non-vacuous: exactly one subject doc
+    (the min (doc_id, position)) keeps the block, every other loses it."""
+    from financial_knowledge_graphs_spark.operators.dedup import c4_span_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    subset = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1")
+    rep = ". alpha beta. gamma delta. epsilon zeta"
+    t2 = F.concat(F.col("text"),
+                  F.when(subset, F.lit(rep)).otherwise(F.lit("")))
+    return c4_span_dedup(d.withColumn("text", t2))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token windows, 8-token
     overlap) — the context-packing pass of a training-data pipeline;
@@ -1003,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_signals": q_gopher_signals,
         "q_ngram_repetition": q_ngram_repetition,
         "q_decontaminate": q_decontaminate,
+        "q_c4_span_dedup": q_c4_span_dedup,
         "q_chunk_documents": q_chunk_documents,
         "q_pack_chunks": q_pack_chunks,
         "q_dedup_exact": q_dedup_exact,
@@ -1660,6 +1677,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(hits.contaminated_ngrams, 0) > 0
                      AS is_contaminated
             FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "q_c4_span_dedup": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1)
+                                       IN ('0','1')
+                             THEN '. alpha beta. gamma delta. epsilon zeta'
+                             ELSE '' END AS text
+              FROM documents
+            ), d AS (
+              SELECT doc_id AS id, string_split(text, '. ') AS s,
+                     len(string_split(text, '. ')) AS n
+              FROM inj
+            ), sp AS (
+              SELECT id, i, md5(array_to_string(s[i:i+2], '. ')) AS h
+              FROM (SELECT id, s, unnest(generate_series(1, n - 2)) AS i
+                    FROM d WHERE n >= 3)
+            ), ranked AS (
+              SELECT id, i,
+                     row_number() OVER (PARTITION BY h ORDER BY id, i) AS rn,
+                     count(*) OVER (PARTITION BY h) AS cnt
+              FROM sp
+            ), removed AS (
+              SELECT DISTINCT id, idx FROM (
+                SELECT id, unnest(generate_series(i, i + 2)) AS idx
+                FROM ranked WHERE cnt > 1 AND rn > 1)
+            ), sent AS (
+              SELECT id, generate_subscripts(s, 1) AS idx, unnest(s) AS sent
+              FROM d
+            ), kept AS (
+              SELECT sent.* FROM sent ANTI JOIN removed USING (id, idx)
+            ), rebuilt AS (
+              SELECT id,
+                     array_to_string(list(sent ORDER BY idx), '. ')
+                       AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY id
+            )
+            SELECT d.id AS doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   d.n::BIGINT AS n_sentences,
+                   (d.n - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+            FROM d LEFT JOIN rebuilt r USING (id)
         """,
         "q_chunk_documents": f"""
             WITH toks AS (

@@ -115,6 +115,7 @@ def main() -> None:
         "q_tfidf_top_terms",
         "q_decontaminate",
         "q_ngram_repetition",
+        "q_c4_span_dedup",
     ]:
         fn = qs.get(name)
         if fn is None:

@@ -134,6 +134,75 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     ).filter(F.col("jaccard") >= threshold)
 
 
+def c4_span_dedup(docs: DataFrame, n_sent: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", sep: str = ". ") -> DataFrame:
+    """C4's span-level dedup (Raffel et al. 2020, §2.2): "we discarded all
+    but one of any three-sentence span occurring more than once in the
+    data set". Sentences = ``sep``-separated chunks; every sliding
+    ``n_sent``-sentence span is hashed corpus-wide; each duplicated span's
+    occurrences except the FIRST (min (doc_id, position)) mark their
+    sentences for removal; docs are rebuilt from the surviving sentences
+    in order. Returns (doc_id, clean_text, n_sentences, n_removed).
+
+    Scale shape: the only corpus-wide shuffle is a hash AGGREGATE keyed by
+    the span hash (partial aggregation map-side), NOT a window — a
+    boilerplate span repeated 10^9 times (exactly C4's motivation) would
+    serialize a per-hash window sort but contributes one combiner row
+    here; marked occurrences then join back on the hash. Docs shorter
+    than ``n_sent`` sentences pass through untouched; a doc losing every
+    sentence survives with clean_text = ''."""
+    import re as _re
+
+    pat = _re.escape(sep)
+    sents = F.split(F.col(text_col), pat)
+    d = docs.select(
+        F.col(id_col).alias("id"), sents.alias("s"), F.size(sents).alias("n")
+    )
+    spans = d.filter(F.col("n") >= n_sent).select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (n_sent - 1))).alias("i"),
+        "s",
+    ).select(
+        "id", "i",
+        F.md5(F.concat_ws(sep, F.slice(F.col("s"), F.col("i"), n_sent))).alias("h"),
+    )
+    agg = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("id", "i")).alias("keep"),  # first occurrence
+    )
+    marked = (
+        spans.join(agg.filter(F.col("cnt") > 1), "h")
+        .filter(~((F.col("id") == F.col("keep.id")) & (F.col("i") == F.col("keep.i"))))
+    )
+    removed = marked.select(
+        "id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (n_sent - 1))).alias("idx"),
+    ).distinct()
+    sent_rows = d.select(
+        "id", F.posexplode("s").alias("idx0", "sent")
+    ).select("id", (F.col("idx0") + 1).alias("idx"), "sent")
+    kept = sent_rows.join(removed, ["id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "sent"))),
+                lambda st: st["sent"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        d.select("id", "n").join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n").cast("long").alias("n_sentences"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + LSH
 # ---------------------------------------------------------------------------

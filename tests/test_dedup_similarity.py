@@ -463,3 +463,26 @@ def test_ngram_jaccard_exact_threshold_pair_not_missed(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in ngram_jaccard_pairs(docs, n=1, threshold=0.8).collect()}
     assert got == {(1, 2): 0.8}
+
+
+def test_c4_span_dedup_hand_checked(spark):
+    """C4 §2.2: all but one occurrence of a duplicated 3-sentence span are
+    removed; keeper = min (doc_id, position); short docs untouched; a doc
+    losing everything survives empty."""
+    from financial_knowledge_graphs_spark.operators.dedup import c4_span_dedup
+
+    docs = spark.createDataFrame([
+        (1, "s1. s2. s3. s4"),
+        (2, "x. s1. s2. s3. y"),       # contains doc 1's leading span
+        (3, "a. b"),                    # too short for any span
+        (4, "s1. s2. s3. s4"),          # exact copy of doc 1
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_span_dedup(docs).collect()}
+    assert got[1]["clean_text"] == "s1. s2. s3. s4"     # keeper, untouched
+    assert got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "x. y"               # span removed
+    assert got[2]["n_removed"] == 3
+    assert got[3]["clean_text"] == "a. b"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 4
+    assert got[4]["n_sentences"] == 4
