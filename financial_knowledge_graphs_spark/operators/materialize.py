@@ -1012,7 +1012,12 @@ def _write_schema(table_path: str, schema) -> None:
     import json
     import os
 
-    tmp = os.path.join(table_path, "._SCHEMA.tmp")
+    import uuid
+
+    # UNIQUE tmp per writer: a fixed name races under concurrent merges —
+    # writer B's os.replace consumes A's tmp (or A's replace consumes B's),
+    # and the loser hits FileNotFoundError despite both schemas being valid
+    tmp = os.path.join(table_path, f"._SCHEMA.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
         json.dump(schema.jsonValue(), f)
         f.flush()
