@@ -103,8 +103,15 @@ _MAPPING_SCHEMA = "key string, type string, name string, norm string, comp strin
 
 
 def _incremental_mapping_driver(prior_map: DataFrame, cand_pdf,
-                                max_block: int) -> DataFrame:
+                                max_block: int,
+                                driver_threshold: int = 0) -> DataFrame | None:
     """Driver twin of the distributed incremental path (token edges only).
+
+    Returns ``None`` when the touched-component member pull would exceed
+    ``driver_threshold`` rows (ADVICE r3: the candidate cap alone does not
+    bound the member fetch — one degenerate mega-component could OOM the
+    driver even on a tiny batch); the caller falls back to the distributed
+    path, which streams members through Spark.
 
     Every step mirrors the Catalyst expressions bit-for-bit: block sizes
     count token OCCURRENCES (explode semantics), pairs are anchored on a
@@ -183,9 +190,16 @@ def _incremental_mapping_driver(prior_map: DataFrame, cand_pdf,
                 [(c,) for c in sorted(touched)], "comp string"
             )
             flt = prior_map.join(F.broadcast(spark_touched), "comp")
-        mem_pdf = flt.select(
-            "key", "type", "name", "norm", "comp", "entity_id"
-        ).toPandas()
+        mem_sel = flt.select("key", "type", "name", "norm", "comp", "entity_id")
+        if driver_threshold:
+            # bound the member fetch like the candidate fetch: limit+1 and
+            # bail to the distributed path on overflow (arbitrary subset is
+            # fine — it is discarded)
+            mem_pdf = mem_sel.limit(driver_threshold + 1).toPandas()
+            if len(mem_pdf) > driver_threshold:
+                return None
+        else:
+            mem_pdf = mem_sel.toPandas()
         for r in mem_pdf.itertuples(index=False):
             rows[r.key] = (r.type, r.name, r.norm or "", r.comp, r.entity_id)
 
@@ -330,9 +344,14 @@ def canonical_mapping_incremental(
             .toPandas()
         )
         if len(cand_pdf) <= driver_threshold:
-            return _incremental_mapping_driver(prior_map, cand_pdf, max_block)
-        # over threshold: fall through to the distributed plan (recomputes
-        # the bridge — acceptable for the rare huge-batch case)
+            res = _incremental_mapping_driver(
+                prior_map, cand_pdf, max_block, driver_threshold
+            )
+            if res is not None:
+                return res
+        # over threshold (candidates OR touched-component members): fall
+        # through to the distributed plan (recomputes the bridge —
+        # acceptable for the rare huge-batch / mega-component case)
 
     # --- edges: verify ONLY pairs with a new side, over new ∪ bridged
     cand_universe = new_keys.withColumn("is_new", F.lit(True)).unionByName(
@@ -1744,9 +1763,7 @@ def rollback_table(table_path: str, snapshot_id: int) -> int:
                 f"{v} GC'd; retention={SNAPSHOT_RETENTION})"
             )
     schema = StructType.fromJson(meta["schema"]) if meta.get("schema") else None
-    if schema is not None:
-        _write_schema(table_path, schema)
-    return _commit_snapshot(
+    sid = _commit_snapshot(
         table_path, meta["buckets"], meta.get("n_buckets"), schema,
         meta.get("stats") or {}, base_sid=_live_sid(table_path),
         dir_stats=meta.get("dir_stats") or {},
@@ -1754,6 +1771,12 @@ def rollback_table(table_path: str, snapshot_id: int) -> int:
         dir_seq=meta.get("dir_seq") or {},
         delete_keys=meta.get("delete_keys"),
     )
+    # _SCHEMA marker only after the CAS commit lands (ADVICE r3): a
+    # conflicting concurrent commit must not see the marker run ahead of
+    # the committed snapshot.
+    if schema is not None:
+        _write_schema(table_path, schema)
+    return sid
 
 
 def truncate_table(table_path: str) -> None:
@@ -2139,7 +2162,6 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
     new_deletes = {b: v for b, v in new_deletes.items() if b in new_map and v}
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)  # zero-row first write still commits
-    _write_schema(table_path, schema)  # legacy readers + zero-row compat
     # COMMIT: one atomic compare-and-swap installs the whole snapshot (a
     # conflict raises to the retry wrapper); then expire versions beyond
     # the retention window (prior snapshots stay readable via time travel)
@@ -2153,6 +2175,12 @@ def _merge_upsert_attempt(spark: SparkSession, table_path: str,
                      base_sid=base_sid, dir_stats=new_dir_stats,
                      deletes=new_deletes, dir_seq=new_dir_seq,
                      delete_keys=delete_keys)
+    # _SCHEMA marker AFTER the CAS commit (ADVICE r3): it is only the
+    # legacy/zero-row fallback — metadata carries the authoritative schema.
+    # Writing it pre-commit let a CommitConflictError leave the marker
+    # ahead of the committed snapshot, so legacy readers (and
+    # lookup_by_key's fallback) could see columns no committed snapshot has.
+    _write_schema(table_path, schema)
     for b in _bucket_dirs(table_path):
         # drop stale per-bucket CURRENT pointers (pre-metadata layout) so
         # they can't pin GC'd versions or confuse legacy readers
@@ -2174,6 +2202,13 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
     """Re-bucket an existing table to a different bucket count — the
     operational story for growing a table past its layout (e.g. 32 buckets
     on one box → 4096 at 100 TB, keeping each bucket a few GB).
+
+    Sizing note for streaming CDC consumers (ADVICE r3): the streaming
+    `graph_table_changes` source diffs a REWRITTEN bucket by materializing
+    both snapshots' resolved rows in one executor task (~2× bucket bytes of
+    task memory) — rebucket a table whose buckets outgrow a few hundred MB
+    BEFORE streaming CDC off it; the batch read_table_changes path has no
+    such per-task bound.
 
     One full rewrite committed as ONE snapshot: every row re-hashed into
     the new layout, staged as fresh version dirs, then the version-hint
@@ -2220,12 +2255,12 @@ def rebucket_table(spark: SparkSession, table_path: str, keys: list[str],
         new_dir_seq[f"bucket={b}/{nxt}"] = None
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(table_path, exist_ok=True)
-    _write_schema(table_path, schema)
     # the resolved full read applied any pending equality deletes, so the
     # re-bucketed table starts with a clean (delete-free) MOR state
     _commit_snapshot(table_path, new_map, new_buckets, schema, new_stats,
                      base_sid=base_sid, dir_stats=new_dir_stats,
                      dir_seq=new_dir_seq)
+    _write_schema(table_path, schema)  # marker trails the commit (ADVICE r3)
     for b in _bucket_dirs(table_path):
         cur = os.path.join(table_path, b, "CURRENT")
         if os.path.exists(cur):

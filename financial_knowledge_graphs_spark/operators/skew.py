@@ -34,7 +34,8 @@ SALT_COL = "__salt"
 
 
 def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
-                salt: int = 16, how: str = "inner") -> DataFrame:
+                salt: int = 16, how: str = "inner",
+                row_id: str | None = None) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``keys`` with the big side salted into
     ``salt`` sub-partitions per key.
 
@@ -46,6 +47,17 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     Only big-side-preserving join types are valid: for how='right'/'full' an
     unmatched SMALL-side row survives once per replica and would appear
     ``salt`` times null-extended (ADVICE r1) — rejected here.
+
+    ``row_id``: optional stable per-row discriminator column. When given,
+    the salt hashes only that column — cheaper than hashing a wide row, and
+    it spreads IDENTICAL duplicate rows of a hot key (which the full-row
+    hash sends to one salt partition; ADVICE r3). Without it, byte-identical
+    duplicate rows of a hot key stay unspread — acceptable when duplicates
+    are rare, documented here because a deduplicating upstream usually makes
+    them so. (monotonically_increasing_id is NOT a substitute: it changes on
+    task retry/speculation and a nondeterministic shuffle key loses or
+    duplicates rows when a map task is recomputed after some reducers
+    already fetched its old output.)
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
@@ -61,10 +73,10 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     # some reducers already fetched its old output. Hash the whole row
     # instead — stable across retries, and it still spreads a hot key's
     # distinct payload rows over the salt space.
+    salt_src = [F.col(row_id)] if row_id else [F.col(c) for c in big.columns]
     big_s = big.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
-               F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*salt_src), F.lit(salt)).cast("int"),
     )
     small_s = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -202,8 +202,14 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
     # whole upstream lineage once for the scalar and again for the real job
     nd = docs.agg(F.count_distinct("doc_id").alias("__n"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # no explicit broadcast on df: vocabulary size grows with the corpus,
+    # and a forced hint bypasses the planner's size check — at 100 TB the
+    # df table can exceed the broadcast limit and kill the job (ADVICE r3).
+    # AQE sees the post-agg size at runtime and broadcasts iff it fits;
+    # otherwise this is a plain shuffle join keyed by term (no hot keys:
+    # df has one row per term).
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",

@@ -279,7 +279,17 @@ class _ChangesStreamReader(DataSourceStreamReader):
             for row in _rows_of(pdf, self.fields, self.types):
                 yield row + ("insert",)
             return
-        # rewritten / MOR bucket: resolved multiset diff
+        # rewritten / MOR bucket: resolved multiset diff.
+        # MEMORY BOUND (ADVICE r3): both snapshots' resolved rows for this
+        # bucket are materialized as Python lists + Counters in ONE executor
+        # task, so peak memory ≈ 2 × (bucket bytes). The bound is therefore
+        # set by bucket sizing, not table size: keep buckets ≲ a few hundred
+        # MB via rebucket_table (operators/materialize.py) before streaming
+        # CDC off a table whose buckets have grown past that — the same
+        # operational knob the batch layer documents. The batch
+        # read_table_changes path streams rewritten buckets through Spark
+        # and has no such bound; prefer it for one-shot backfills of tables
+        # with oversized buckets.
         rows_a = _resolved_rows(self.table_path, spec["bucket"],
                                 spec["data_a"], spec["dels_a"],
                                 self.fields, self.types)
