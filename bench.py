@@ -120,9 +120,18 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2 (VERDICT r3 next #3): single-shot timings in a shared
+        # session showed ±40% phantom swings r2→r3 (q_ann_topk 1.38→2.03
+        # with only additive code changes); the min of two back-to-back
+        # runs is stable enough for a round-over-round comparison and also
+        # drops first-run plan-compilation cost from every query.
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            force(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

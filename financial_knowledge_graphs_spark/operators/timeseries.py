@@ -128,6 +128,7 @@ def sessionize(
     gap_seconds: float,
     tiebreak: str,
     session_col: str = "session_num",
+    hub_chunk_seconds: float | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: within each ``key``'s timeline (ordered
     by ``time``, ties by ``tiebreak``), a new session starts at the first
@@ -135,24 +136,81 @@ def sessionize(
     ``gap_seconds``. Adds ``session_col`` (1-based long, contiguous per
     key). Single shuffle: both windows share one (key, time) sort.
 
+    ``hub_chunk_seconds`` is the hub-key skew escape hatch (same knob as
+    ``asof_join``): the plain window puts one key's ENTIRE timeline in one
+    task, so a hub key serializes. With it set, break flags are computed
+    per (key, time-chunk) — per-task work bounded by one chunk — and a
+    tiny chunk summary (one row per non-empty (key, chunk): first/last
+    event time + within-chunk break count) decides each chunk's
+    first-row break and running-count base via a skew-free window over
+    the summary. Result is row-identical to the plain path (pinned by
+    test); cost is one extra small shuffle + a join.
+
     Time-zone note: NTZ timestamps are gap-compared after a cast through
     the session time zone; this engine pins ``spark.sql.session.timeZone``
     to UTC (session.py), where the cast is exact. Under a caller-supplied
     DST session zone, naive gaps spanning a transition would be off by the
     DST shift — keep the session zone fixed-offset for this operator.
     """
-    w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
     # TIMESTAMP_NTZ (parquet default) has no direct numeric cast; route
     # through LTZ — the constant session-tz offset cancels in the diff
     sec = F.col(time).cast("timestamp").cast("double")
-    prev = F.lag(sec).over(w)
-    brk = F.when(
-        prev.isNull() | ((sec - prev) > float(gap_seconds)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return events.withColumn(
-        session_col, F.sum(brk).over(run).cast("long")
+    gap = float(gap_seconds)
+    if hub_chunk_seconds is None:
+        w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+        prev = F.lag(sec).over(w)
+        brk = F.when(prev.isNull() | ((sec - prev) > gap), F.lit(1)).otherwise(F.lit(0))
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return events.withColumn(session_col, F.sum(brk).over(run).cast("long"))
+
+    df = events.withColumn(
+        "__ss_chunk", F.floor(sec / float(hub_chunk_seconds)).cast("long")
+    ).withColumn("__ss_sec", sec)
+    wc = Window.partitionBy(key, "__ss_chunk").orderBy(
+        F.col(time).asc(), F.col(tiebreak).asc()
+    )
+    prev = F.lag(F.col("__ss_sec")).over(wc)
+    # within-chunk break; NULL on each chunk's first row (decided below
+    # from the previous non-empty chunk's last event time)
+    df = df.withColumn(
+        "__ss_brk_w",
+        F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+            F.when((F.col("__ss_sec") - prev) > gap, F.lit(1)).otherwise(F.lit(0))
+        ),
+    )
+    summ = df.groupBy(key, "__ss_chunk").agg(
+        F.min(F.struct(F.col(time), F.col(tiebreak), F.col("__ss_sec"))).alias("__f"),
+        F.max(F.struct(F.col(time), F.col(tiebreak), F.col("__ss_sec"))).alias("__l"),
+        F.coalesce(F.sum("__ss_brk_w"), F.lit(0)).alias("__nbw"),
+    )
+    cw = Window.partitionBy(key).orderBy(F.col("__ss_chunk").asc())
+    summ = summ.withColumn(
+        "__prev_last", F.lag(F.col("__l.__ss_sec")).over(cw)
+    ).withColumn(
+        "__fb",
+        F.when(
+            F.col("__prev_last").isNull()
+            | ((F.col("__f.__ss_sec") - F.col("__prev_last")) > gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__base",
+        F.coalesce(
+            F.sum(F.col("__fb") + F.col("__nbw")).over(
+                cw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(key, "__ss_chunk", "__fb", "__base")
+    run = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.join(summ, on=[key, "__ss_chunk"], how="inner")
+        .withColumn("__ss_brk", F.coalesce(F.col("__ss_brk_w"), F.col("__fb")))
+        .withColumn(
+            session_col,
+            (F.col("__base") + F.sum("__ss_brk").over(run)).cast("long"),
+        )
+        .drop("__ss_chunk", "__ss_sec", "__ss_brk_w", "__ss_brk", "__fb", "__base")
     )
 
 
@@ -164,6 +222,7 @@ def rolling_agg(
     n_rows: int,
     tiebreak: str,
     prefix: str = "rolling",
+    hub_chunk_seconds: float | None = None,
 ) -> DataFrame:
     """Trailing n-row rolling sum/mean/min/max of ``value`` per ``key``
     timeline — the standard smoothing / momentum feature pass.
@@ -174,24 +233,105 @@ def rolling_agg(
     plans); the decimal sum is exact, and the mean divides two exact
     quantities in double (IEEE — bit-stable). One shuffle; all four
     aggregates share the single (key, time) window sort.
+
+    ``hub_chunk_seconds`` is the hub-key skew escape hatch (same knob as
+    ``asof_join``/``sessionize``): with it set, the trailing window runs
+    per (key, time-chunk), and each chunk is seeded with GHOST copies of
+    the last ``n_rows - 1`` rows before it — taken from a per-chunk tail
+    summary (≤ n_rows-1 (time, tiebreak, value) structs per non-empty
+    chunk) carried forward by a skew-free window over the summary. Ghost
+    rows order before every real row of their chunk (strictly earlier
+    times by construction) and are dropped after the window, so the
+    result is row-identical to the plain path (pinned by test). Per-task
+    work is bounded by one chunk + n_rows seed rows.
     """
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(time).asc(), F.col(tiebreak).asc())
-        .rowsBetween(-(n_rows - 1), Window.currentRow)
-    )
+    order = (F.col(time).asc(), F.col(tiebreak).asc())
     dec = F.col(value).cast("decimal(28,6)")
-    s = F.sum(dec).over(w)
-    n = F.count(F.lit(1)).over(w)
-    # mean = double(exact sum) / double(n): one IEEE division of exact
-    # inputs — decimal/decimal division would round at engine-specific
-    # result scales and diverge cross-engine
-    return events.withColumn(
-        f"{prefix}_sum", s.cast("double")
-    ).withColumn(
-        f"{prefix}_mean", s.cast("double") / n.cast("double")
-    ).withColumn(
-        f"{prefix}_min", F.min(F.col(value)).over(w)
-    ).withColumn(
-        f"{prefix}_max", F.max(F.col(value)).over(w)
+
+    def attach(df: DataFrame, w) -> DataFrame:
+        s = F.sum(dec).over(w)
+        n = F.count(F.lit(1)).over(w)
+        # mean = double(exact sum) / double(n): one IEEE division of exact
+        # inputs — decimal/decimal division would round at engine-specific
+        # result scales and diverge cross-engine
+        return df.withColumn(
+            f"{prefix}_sum", s.cast("double")
+        ).withColumn(
+            f"{prefix}_mean", s.cast("double") / n.cast("double")
+        ).withColumn(
+            f"{prefix}_min", F.min(F.col(value)).over(w)
+        ).withColumn(
+            f"{prefix}_max", F.max(F.col(value)).over(w)
+        )
+
+    if hub_chunk_seconds is None:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(-(n_rows - 1), Window.currentRow)
+        )
+        return attach(events, w)
+
+    sec = F.col(time).cast("timestamp").cast("double")
+    df = events.withColumn(
+        "__ra_chunk", F.floor(sec / float(hub_chunk_seconds)).cast("long")
+    )
+    k = n_rows - 1
+    if k == 0:  # frame is the current row only — no cross-chunk state
+        w = (
+            Window.partitionBy(key, "__ra_chunk")
+            .orderBy(*order)
+            .rowsBetween(0, 0)
+        )
+        return attach(df, w).drop("__ra_chunk")
+    # per-chunk tail: the last ≤ k rows as ordered structs (sort_array on
+    # (time, tiebreak, value) == the window order; value only breaks full
+    # (time, tiebreak) ties, where the plain path is equally unordered)
+    summ = df.groupBy(key, "__ra_chunk").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(time), F.col(tiebreak), F.col(value).alias("__v"))
+            )
+        ).alias("__arr")
+    ).select(
+        key,
+        "__ra_chunk",
+        F.expr(f"slice(__arr, greatest(1, size(__arr) - {k} + 1), {k})").alias("__tail"),
+    )
+    cw = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ra_chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        summ
+        .withColumn("__all_prev", F.flatten(F.collect_list("__tail").over(cw)))
+        .withColumn(
+            "__seed",
+            F.expr(
+                f"slice(__all_prev, greatest(1, size(__all_prev) - {k} + 1), {k})"
+            ),
+        )
+        .select(key, "__ra_chunk", F.explode("__seed").alias("__s"))
+        .select(
+            key,
+            "__ra_chunk",
+            F.col(f"__s.{time}").alias(time),
+            F.col(f"__s.{tiebreak}").alias(tiebreak),
+            F.col("__s.__v").alias(value),
+            F.lit(True).alias("__ra_ghost"),
+        )
+    )
+    unioned = df.withColumn("__ra_ghost", F.lit(False)).unionByName(
+        seeds, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key, "__ra_chunk")
+        .orderBy(*order)
+        .rowsBetween(-k, Window.currentRow)
+    )
+    return (
+        attach(unioned, w)
+        .filter(~F.col("__ra_ghost"))
+        .drop("__ra_chunk", "__ra_ghost")
     )

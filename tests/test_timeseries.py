@@ -186,3 +186,91 @@ def test_rolling_agg_single_shuffle_plan(spark):
     out = rolling_agg(ev, "key", "ts", "v", 7, "eid")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_hub_chunked_equals_plain(spark):
+    """Chunked path must be row-identical to the plain path, including
+    sessions that span chunk boundaries, chunks with a single event, and
+    whole empty chunks between events of the same key."""
+    import random
+
+    rng = random.Random("sess-chunk:1")
+    rows = []
+    t = 0
+    for i in range(400):
+        # mix of tiny gaps (same session), medium (new session), and
+        # occasional huge jumps (skips several whole 500-s chunks)
+        t += rng.choice([1, 2, 5, 40, 40, 700, 1600])
+        rows.append((i, rng.randrange(3), t))
+    df = spark.createDataFrame(rows, "eid long, key long, t long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    kw = dict(key="key", time="ts", gap_seconds=30, tiebreak="eid")
+    plain = {r["eid"]: r["session_num"]
+             for r in sessionize(df, **kw).collect()}
+    chunked = {r["eid"]: r["session_num"]
+               for r in sessionize(df, hub_chunk_seconds=500, **kw).collect()}
+    assert chunked == plain
+    assert len(plain) == 400 and max(plain.values()) > 3
+
+
+def test_sessionize_hub_chunked_tie_rows(spark):
+    """Timestamp ties across the board (all events at 3 instants, two of
+    them in the same chunk) — tiebreak ordering must hold chunked too."""
+    rows = [(i, i % 2, [100, 100, 900][i % 3]) for i in range(24)]
+    df = spark.createDataFrame(rows, "eid long, key long, t long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    kw = dict(key="key", time="ts", gap_seconds=50, tiebreak="eid")
+    plain = {r["eid"]: r["session_num"] for r in sessionize(df, **kw).collect()}
+    chunked = {r["eid"]: r["session_num"]
+               for r in sessionize(df, hub_chunk_seconds=500, **kw).collect()}
+    assert chunked == plain
+
+
+def test_rolling_agg_hub_chunked_equals_plain(spark):
+    """Chunked rolling window must equal the plain path row-for-row: the
+    trailing frame regularly spans 1-3 chunk boundaries (n=7 rows vs
+    chunks of ~2-4 events), and some keys have sparse multi-chunk gaps so
+    seeds must flow through chunks the PREVIOUS chunk can't fill alone."""
+    import random
+
+    from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
+
+    rng = random.Random("roll-chunk:7")
+    rows = []
+    t = 0
+    for i in range(300):
+        t += rng.choice([30, 60, 90, 1100])  # ~2-4 events per 500-s chunk
+        rows.append((i, rng.randrange(3), t, round(rng.uniform(-9, 9), 3)))
+    df = spark.createDataFrame(rows, "eid long, key long, t long, v double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("t")))
+    kw = dict(key="key", time="ts", value="v", n_rows=7, tiebreak="eid",
+              prefix="r")
+    plain = {
+        r["eid"]: (r["r_sum"], r["r_mean"], r["r_min"], r["r_max"])
+        for r in rolling_agg(df, **kw).collect()
+    }
+    chunked = {
+        r["eid"]: (r["r_sum"], r["r_mean"], r["r_min"], r["r_max"])
+        for r in rolling_agg(df, hub_chunk_seconds=500, **kw).collect()
+    }
+    assert chunked == plain
+    assert len(plain) == 300
+
+
+def test_rolling_agg_hub_chunked_n1(spark):
+    """n_rows=1 short-circuits the seed machinery (frame = current row)."""
+    from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
+
+    ev = spark.range(40).select(
+        (F.col("id") % 2).alias("key"),
+        F.timestamp_seconds(F.col("id") * 333).alias("ts"),
+        F.col("id").alias("eid"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    kw = dict(key="key", time="ts", value="v", n_rows=1, tiebreak="eid")
+    plain = {r["eid"]: r["rolling_sum"] for r in rolling_agg(ev, **kw).collect()}
+    chunked = {r["eid"]: r["rolling_sum"]
+               for r in rolling_agg(ev, hub_chunk_seconds=500, **kw).collect()}
+    assert chunked == plain
