@@ -599,7 +599,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.timeseries import sessionize
 
     e = _t(spark, sf_dir, "events")
-    s = sessionize(e, "user_id", "ts", 21600, "event_id")
+    # hub_chunk_seconds=3 days over the 30-day corpus: ~10 chunks per key,
+    # so the driver oracle verifies the hub-key CHUNKED path (r4) — the
+    # result is row-identical to the plain path (pinned by
+    # test_sessionize_hub_chunked_equals_plain), so the oracle SQL is
+    # unchanged and the plain path stays covered transitively
+    s = sessionize(e, "user_id", "ts", 21600, "event_id",
+                   hub_chunk_seconds=259200)
     return s.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("start_ts"),
@@ -614,8 +620,12 @@ def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_knowledge_graphs_spark.operators.timeseries import rolling_agg
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    # chunked (ghost-seeded) hub path, driver-verified against the same
+    # oracle as the plain path — row-identical by construction (pinned by
+    # test_rolling_agg_hub_chunked_equals_plain)
     return rolling_agg(
-        e, "user_id", "ts", "value", 7, "event_id", prefix="roll"
+        e, "user_id", "ts", "value", 7, "event_id", prefix="roll",
+        hub_chunk_seconds=259200,
     ).select("event_id", "user_id", "roll_sum", "roll_mean", "roll_min", "roll_max")
 
 
