@@ -28,9 +28,13 @@ PICK = [
     "q_ann_topk",              # vector scoring + rank
     "kg_degree",               # agg over the bucketed graph table
     "q_chunk_documents",       # shuffle-free chunking map stage
-    "q_rolling_agg",           # single-sort shared rolling window
+    "q_rolling_agg",           # hub-chunked rolling window (ghost carry-in rows)
+    "q_sessionize",            # hub-chunked gap sessionize (chunk + stitch)
+    "q_asof_join",             # union-sort-merge as-of (1 Exchange, 0 Join)
     "q_pack_chunks",           # window + agg sharing one partitioning
     "q_key_skew_profile",      # distributed top-K (TakeOrderedAndProject)
+    "q_salted_join",           # deterministic-salt skew join
+    "q_tfidf_top_terms",       # df-agg join back (AQE decides broadcast)
     "q_decontaminate",         # broadcast test-gram semi-join, big side scanned once
 ]
 
