@@ -2350,9 +2350,74 @@ def compact_table(spark: SparkSession, table_path: str,
     _gc_versions(table_path)
 
 
+def _with_zorder_key(df: DataFrame, cols: list[str],
+                     bits: int = 4) -> DataFrame:
+    """Add an interleaved-bit ``__zkey`` column over ``cols`` (Z-order /
+    Morton curve — the Iceberg ``rewrite_data_files`` Z-order strategy and
+    Delta ``OPTIMIZE ZORDER BY`` analog).
+
+    Per column: quantile split points (``2**bits`` ranks, approxQuantile
+    with 1% relative error — rank-based, so skewed distributions still
+    spread across ranks) map each value to a ``bits``-wide integer id;
+    the ids' bits are then interleaved (bit b of column i lands at
+    position ``b*ncols + i``), so rows close in EVERY dimension get close
+    keys. Range-splitting on ``__zkey`` therefore makes each output
+    chunk cover a tight hyper-rectangle: footer [min,max] bounds are
+    tight on ALL clustered columns at once, and
+    ``read_graph_table_pruned`` can skip dirs for a predicate on ANY of
+    them — what a lexicographic sort order only gives the leading column.
+
+    Supported column types: numeric, decimal, date, timestamp,
+    timestamp_ntz (quantiles need a numeric proxy). NULLs sort into rank
+    0 (absent footer bounds degrade to read-and-filter, never wrong
+    results). All expression work is built-in Catalyst (aggregate over a
+    broadcast literal array + shift/mask) — no UDF, shuffle-free."""
+    from functools import reduce
+
+    n = 1 << bits
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    proxies = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            proxy = F.col(c).cast("timestamp").cast("double")
+        elif dt in numeric or dt.startswith("decimal"):
+            proxy = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"z-order needs numeric/date/timestamp columns; {c!r} is "
+                f"{dt} — use lexicographic cluster_table for strings"
+            )
+        proxies.append(proxy)
+    probs = [j / n for j in range(1, n)]
+    pdf = df.select(*[p.alias(f"__z{i}") for i, p in enumerate(proxies)])
+    all_splits = pdf.stat.approxQuantile(
+        [f"__z{i}" for i in range(len(cols))], probs, 0.01
+    )
+    ids = []
+    for proxy, splits in zip(proxies, all_splits):
+        splits = sorted(set(splits))  # dedup ties: id stays < 2**bits
+        if splits:
+            idx = F.aggregate(
+                F.array(*[F.lit(s) for s in splits]), F.lit(0),
+                lambda acc, s: acc + F.when(proxy > s, 1).otherwise(0),
+            )
+        else:
+            idx = F.lit(0)  # empty/all-null column: every row rank 0
+        ids.append(idx)
+    ncols = len(cols)
+    zbits = [
+        F.shiftleft(F.shiftright(idx, b).bitwiseAND(F.lit(1)), b * ncols + i)
+        for i, idx in enumerate(ids) for b in range(bits)
+    ]
+    return df.withColumn("__zkey", reduce(lambda a, b: a + b, zbits))
+
+
 def cluster_table(spark: SparkSession, table_path: str,
                   sort_by: str | list[str],
-                  files_per_bucket: int = 4) -> None:
+                  files_per_bucket: int = 4,
+                  zorder: bool = False,
+                  zorder_bits: int = 4) -> None:
     """Sort-order clustering: rewrite every bucket's rows range-split on
     ``sort_by`` (a column, or a list for a composite lexicographic sort
     order) into up to ``files_per_bucket`` single-file version dirs, each
@@ -2367,6 +2432,14 @@ def cluster_table(spark: SparkSession, table_path: str,
     content is unchanged; pending merge-on-read deletes are folded away by
     the rewrite (same resolved read as compaction); time travel keeps the
     pre-cluster snapshots until retention expires them.
+
+    ``zorder=True`` switches the range-split key to an interleaved-bit
+    Morton key over ``sort_by`` (see ``_with_zorder_key``): chunks become
+    tight hyper-rectangles instead of tight leading-column stripes, so
+    range scans prune on ANY clustered column — multi-dimensional file
+    skipping, the Iceberg Z-order rewrite strategy. Quantile ranks are
+    computed per bucket (tighter than table-global, and each bucket is
+    already rewritten independently). Numeric/date/timestamp columns only.
 
     Offline maintenance op, CAS-committed like ``compact_table``: a merge
     landing underneath raises CommitConflictError — rerun (content is
@@ -2404,12 +2477,18 @@ def cluster_table(spark: SparkSession, table_path: str,
         if rows is None:
             continue
         out = os.path.join(staging, b)
-        (
-            rows.repartitionByRange(k, *[F.col(c) for c in sort_cols])
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        if zorder:
+            ranged = (
+                _with_zorder_key(rows, sort_cols, zorder_bits)
+                .repartitionByRange(k, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            ranged = rows.repartitionByRange(
+                k, *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(*sort_cols)
+        ranged.write.mode("overwrite").parquet(out)
         parts = sorted(
             f for f in os.listdir(out)
             if f.endswith(".parquet") and

@@ -14,6 +14,9 @@ Commands:
   compact [--max-files N]         fold over-full buckets (default to 1 file)
   cluster --by COL [--files N]    sort-order rewrite: range-split each
                                   bucket on COL so manifest bounds prune
+          [--zorder]              Morton-interleave the --by columns: tight
+                                  bounds on EVERY dimension, not just the
+                                  leading one (numeric/date/timestamp cols)
   rebucket --keys k1,k2 --n N     grow/shrink the hash layout online
   rollback --snapshot SID         restore a retained snapshot (new commit)
   tag --name N [--snapshot SID]   pin a snapshot as a named ref (never expires)
@@ -53,6 +56,10 @@ def main() -> None:
     p = sub.add_parser("cluster")
     p.add_argument("--by", required=True, help="sort/cluster column")
     p.add_argument("--files", type=int, default=4, help="range chunks per bucket")
+    p.add_argument("--zorder", action="store_true",
+                   help="interleaved-bit Morton key over --by columns: "
+                        "chunks become tight hyper-rectangles, range scans "
+                        "prune on ANY clustered column (numeric/date/ts only)")
     p = sub.add_parser("rebucket")
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--n", type=int, required=True)
@@ -117,8 +124,8 @@ def main() -> None:
                               "files_after": (after or {}).get("files")}))
         elif args.cmd == "cluster":
             m.cluster_table(spark, t, args.by.split(","),
-                            files_per_bucket=args.files)
-            print(json.dumps({"clustered_by": args.by,
+                            files_per_bucket=args.files, zorder=args.zorder)
+            print(json.dumps({"clustered_by": args.by, "zorder": args.zorder,
                               "snapshot": m.snapshots(t)[-1]["snapshot_id"]}))
         elif args.cmd == "rebucket":
             m.rebucket_table(spark, t, args.keys.split(","), args.n)

@@ -859,6 +859,68 @@ def test_cluster_table_composite_sort_order(spark, tmp_warehouse):
     assert len(_dirs_of(narrow.inputFiles())) < len(all_dirs)
 
 
+def test_cluster_table_zorder_prunes_every_dimension(spark, tmp_warehouse):
+    """Z-order clustering: on a 2-D grid where x and y are independent, a
+    lexicographic sort order on [x, y] leaves y bounds useless (every
+    chunk spans all of y), while the Morton-interleaved key gives each
+    chunk a tight hyper-rectangle — a narrow range scan prunes dirs on x
+    alone AND on y alone, and content/time-travel are unchanged."""
+    # 20x20 grid, one row per cell: x and y are INDEPENDENT (x = i//20,
+    # y = i%20) — a correlated pair would give lexicographic chunks tight
+    # trailing-column bounds by accident and mask the z-order difference
+    rows = [(f"k{i}", i // 20, i % 20) for i in range(400)]
+    schema = "k string, x long, y long"
+
+    def build(name, **cluster_kw):
+        t = os.path.join(tmp_warehouse, name)
+        materialize.merge_upsert(
+            spark, t, spark.createDataFrame(rows, schema), ["k"], n_buckets=2)
+        materialize.cluster_table(
+            spark, t, ["x", "y"], files_per_bucket=8, **cluster_kw)
+        st = materialize._table_state(t)
+        n_dirs = sum(len(materialize._as_dirs(vs))
+                     for vs in st["buckets"].values())
+        return t, n_dirs
+
+    t_lex, lex_dirs = build("zorder_lex")
+    t_z, z_dirs = build("zorder_morton", zorder=True)
+
+    before = {(r["k"], r["x"], r["y"]) for r in
+              materialize.read_graph_table(spark, t_z).collect()}
+    assert before == {(k, x, y) for k, x, y in rows}
+
+    def dirs_opened(t, preds):
+        df = materialize.read_graph_table_pruned(spark, t, preds)
+        got = {(r["k"], r["x"], r["y"]) for r in df.collect()}
+        want = {(k, x, y) for k, x, y in rows
+                if all(lo <= {"x": x, "y": y}[c] <= hi
+                       for c, (lo, hi) in preds.items())}
+        assert got == want  # pruning must never change results
+        return len(_dirs_of(df.inputFiles()))
+
+    # leading column: both layouts prune
+    assert dirs_opened(t_z, {"x": (0, 4)}) < z_dirs
+    assert dirs_opened(t_lex, {"x": (0, 4)}) < lex_dirs
+    # TRAILING column: only the z-ordered layout can prune — lexicographic
+    # chunks each span all of y on this grid
+    assert dirs_opened(t_lex, {"y": (0, 4)}) == lex_dirs
+    assert dirs_opened(t_z, {"y": (0, 4)}) < z_dirs
+    # 2-D box: the z-ordered layout opens a small corner of the table
+    assert dirs_opened(t_z, {"x": (0, 4), "y": (0, 4)}) <= z_dirs // 2
+
+
+def test_cluster_table_zorder_rejects_string_column(spark, tmp_warehouse):
+    import pytest
+
+    t = os.path.join(tmp_warehouse, "zorder_bad")
+    materialize.merge_upsert(spark, t, _mk(spark, [("a", 1)]), ["k"], 2)
+    with pytest.raises(ValueError, match="z-order"):
+        materialize.cluster_table(spark, t, ["k", "v"], zorder=True)
+    # table untouched: no version dir was installed by the failed attempt
+    assert [(r["k"], r["v"]) for r in
+            materialize.read_graph_table(spark, t).collect()] == [("a", 1)]
+
+
 def test_corrupt_tags_file_fails_closed(spark, tmp_warehouse):
     """Review r3-1: a corrupt tags.json must RAISE (and abort GC) rather
     than read as 'no tags' and let GC expire pinned snapshots."""
