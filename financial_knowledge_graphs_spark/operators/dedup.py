@@ -82,7 +82,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
     Candidate generation uses EXACT prefix filtering (ppjoin): order each
-    doc's shingles by a global total order (md5), keep only the first
+    doc's shingles by a global total order, keep only the first
     |sh| - ⌈t·|sh|⌉ + 1 as blocking keys. If J(A,B) ≥ t then
     |A∩B| ≥ ⌈t·|A|⌉, i.e. each side can miss at most |side| - ⌈t·|side|⌉
     of its own elements from the intersection, so the intersection always
@@ -92,6 +92,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     (0.8·5 = 4.0000000000000002 → ceil 5 → a one-short prefix that loses
     exactly-at-threshold pairs); the equivalent ⌊(1-t)·|sh|⌋+1 form fails
     the same way from below (1-0.8 = 0.19999999999999996).
+
+    The total order is the CANONICAL ppjoin one (Xiao et al. 2011):
+    ascending global document frequency, md5 tiebreak for determinism.
+    Exactness holds for ANY global total order (the prefix bound above is
+    order-agnostic), but df-ascending lands every prefix on the RAREST
+    shingles, so blocking keys are near-unique and the candidate-pair set
+    shrinks by an order of magnitude on natural text vs a hash order. The
+    df table is one count aggregate over the exploded shingles (map-side
+    partial agg, so a corpus-wide stop-shingle is one combiner row per
+    task); the remap join is AQE-decided (broadcasts when the distinct-
+    shingle side is small, shuffle-join with skew splitting otherwise).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
@@ -101,16 +112,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # shuffle; instead dedupe (id_a, id_b) first, then join the two arrays
     # back for the verify step (each array crosses the wire once per side).
     prefix_len = (
-        F.size("sh")
-        - F.ceil(F.size("sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
-    ex = sh.select(
-        "id",
-        F.explode(
-            F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
-                    F.lit(1), prefix_len)
-        ).alias("s"),
+    ex_all = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    dfreq = ex_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    wid = Window.partitionBy("id").orderBy(
+        F.col("dfq").asc(), F.md5("shingle").asc()
+    )
+    ex = (
+        ex_all.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(wid))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", F.md5("shingle").alias("s"))
     )
     ex = ex.persist()  # feeds the block-size agg and both join sides
     sizes = ex.groupBy("s").agg(F.count(F.lit(1)).alias("bs"))

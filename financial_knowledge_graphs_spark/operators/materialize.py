@@ -2374,6 +2374,19 @@ def _with_zorder_key(df: DataFrame, cols: list[str],
     broadcast literal array + shift/mask) — no UDF, shuffle-free."""
     from functools import reduce
 
+    if bits * len(cols) > 63:
+        # interleaved key must fit a signed 64-bit long: position
+        # bits*ncols-1 may not reach the sign bit (Java shift wraps mod 64)
+        raise ValueError(
+            f"zorder_bits={bits} over {len(cols)} columns needs "
+            f"{bits * len(cols)} key bits; the interleaved key is a BIGINT "
+            f"so bits*ncols must be <= 63 — lower zorder_bits"
+        )
+    if "__zkey" in df.columns:
+        raise ValueError(
+            "table already has a column named '__zkey' — the z-order "
+            "rewrite would overwrite and then drop it; rename the column"
+        )
     n = 1 << bits
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
     proxies = []
@@ -2404,7 +2417,9 @@ def _with_zorder_key(df: DataFrame, cols: list[str],
             )
         else:
             idx = F.lit(0)  # empty/all-null column: every row rank 0
-        ids.append(idx)
+        # bigint BEFORE shifting: with int ranks, Java shiftleft is mod 32
+        # and positions >= 31 would wrap / hit the sign bit (ADVICE r4)
+        ids.append(idx.cast("bigint"))
     ncols = len(cols)
     zbits = [
         F.shiftleft(F.shiftright(idx, b).bitwiseAND(F.lit(1)), b * ncols + i)
@@ -2477,9 +2492,14 @@ def cluster_table(spark: SparkSession, table_path: str,
         if rows is None:
             continue
         out = os.path.join(staging, b)
+        cached = None
         if zorder:
+            # the z-order path reads the bucket twice (approxQuantile in
+            # _with_zorder_key, then the rewrite) — persist around the
+            # pair so the resolved scan runs once (ADVICE r4)
+            cached = rows.persist()
             ranged = (
-                _with_zorder_key(rows, sort_cols, zorder_bits)
+                _with_zorder_key(cached, sort_cols, zorder_bits)
                 .repartitionByRange(k, F.col("__zkey"))
                 .sortWithinPartitions("__zkey")
                 .drop("__zkey")
@@ -2489,6 +2509,8 @@ def cluster_table(spark: SparkSession, table_path: str,
                 k, *[F.col(c) for c in sort_cols]
             ).sortWithinPartitions(*sort_cols)
         ranged.write.mode("overwrite").parquet(out)
+        if cached is not None:
+            cached.unpersist()
         parts = sorted(
             f for f in os.listdir(out)
             if f.endswith(".parquet") and

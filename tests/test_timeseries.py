@@ -274,3 +274,84 @@ def test_rolling_agg_hub_chunked_n1(spark):
     chunked = {r["eid"]: r["rolling_sum"]
                for r in rolling_agg(ev, hub_chunk_seconds=500, **kw).collect()}
     assert chunked == plain
+
+
+def _hub_events(spark):
+    """Hub fixture: key 0 holds 300 of 340 rows spread over ~3000s; keys
+    1-4 hold 10 each."""
+    hub = spark.range(300).select(
+        F.lit(0).alias("key"),
+        F.timestamp_seconds(F.col("id") * 10).alias("ts"),
+        F.col("id").alias("eid"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    cold = spark.range(40).select(
+        (F.col("id") % 4 + 1).alias("key"),
+        F.timestamp_seconds(F.col("id") * 70).alias("ts"),
+        (F.col("id") + 1000).alias("eid"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    return hub.unionByName(cold)
+
+
+def test_auto_hub_chunk_uniform_resolves_to_plain(spark):
+    """hub_chunk_seconds="auto" on uniform data: resolver returns None and
+    the operator output equals the plain path (same single-window plan)."""
+    from financial_knowledge_graphs_spark.operators import timeseries as ts
+
+    ev = spark.range(100).select(
+        (F.col("id") % 5).alias("key"),
+        F.timestamp_seconds(F.col("id") * 17).alias("ts"),
+        F.col("id").alias("eid"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    assert ts._resolve_hub_chunk(ev, ["key"], F.col("ts"), "auto") is None
+    kw = dict(key="key", time="ts", gap_seconds=30, tiebreak="eid")
+    plain = {r["eid"]: r["session_num"]
+             for r in ts.sessionize(ev, **kw).collect()}
+    auto = {r["eid"]: r["session_num"]
+            for r in ts.sessionize(ev, hub_chunk_seconds="auto", **kw).collect()}
+    assert auto == plain
+
+
+def test_auto_hub_chunk_engages_on_hub(spark, monkeypatch):
+    """With the trip point lowered, "auto" engages on the hub fixture (the
+    resolver picks a positive chunk width splitting the hot key into
+    ~n/AUTO_HUB_MAX_ROWS chunks) and stays row-identical to plain for all
+    three operators."""
+    from financial_knowledge_graphs_spark.operators import timeseries as ts
+
+    monkeypatch.setattr(ts, "AUTO_HUB_MAX_ROWS", 50)
+    ev = _hub_events(spark)
+    width = ts._resolve_hub_chunk(ev, ["key"], F.col("ts"), "auto")
+    assert width is not None and 0 < width <= 2990 / 2  # >= 2 chunks
+
+    skw = dict(key="key", time="ts", gap_seconds=15, tiebreak="eid")
+    plain_s = {r["eid"]: r["session_num"]
+               for r in ts.sessionize(ev, **skw).collect()}
+    auto_s = {r["eid"]: r["session_num"]
+              for r in ts.sessionize(ev, hub_chunk_seconds="auto", **skw).collect()}
+    assert auto_s == plain_s and len(plain_s) == 340
+
+    rkw = dict(key="key", time="ts", value="v", n_rows=5, tiebreak="eid")
+    plain_r = {r["eid"]: (r["rolling_sum"], r["rolling_min"])
+               for r in ts.rolling_agg(ev, **rkw).collect()}
+    auto_r = {r["eid"]: (r["rolling_sum"], r["rolling_min"])
+              for r in ts.rolling_agg(ev, hub_chunk_seconds="auto", **rkw).collect()}
+    assert auto_r == plain_r
+
+    quotes = ev.select("key", F.col("ts").alias("qt"),
+                       F.col("eid").alias("qid"), F.col("v").alias("px"))
+    trades = spark.range(200).select(
+        F.lit(0).alias("key"),
+        F.timestamp_seconds(F.col("id") * 16 + 3).alias("tt"),
+        F.col("id").alias("tid"),
+    )
+    akw = dict(on=["key"], left_time="tt", right_time="qt",
+               payload=["qid", "px"], tiebreak="qid")
+    plain_a = {r["tid"]: (r["qid"], r["px"])
+               for r in ts.asof_join(trades, quotes, **akw).collect()}
+    auto_a = {r["tid"]: (r["qid"], r["px"])
+              for r in ts.asof_join(trades, quotes,
+                                    hub_chunk_seconds="auto", **akw).collect()}
+    assert auto_a == plain_a and len(plain_a) == 200
