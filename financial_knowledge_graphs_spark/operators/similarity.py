@@ -19,22 +19,25 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_expr
+from .dedup import cosine_with_norms_expr, norm_expr
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self): broadcast-join the
-    query set, score all pairs, keep rank ≤ k. One shuffle (the window)."""
+    query set, score all pairs, keep rank ≤ k. One shuffle (the window).
+    Norms precomputed once per vector (bit-identical, see
+    cosine_with_norms_expr) — per-pair work is one dot product."""
     corpus = embeddings.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).cast("array<double>").alias("v_i")
-    )
+    ).withColumn("n_i", norm_expr(F.col("v_i")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v_q")
-    )
+    ).withColumn("n_q", norm_expr(F.col("v_q")))
     scored = corpus.join(F.broadcast(q), F.col("item_id") != F.col("query_id")).select(
         "query_id", "item_id",
-        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+        F.round(cosine_with_norms_expr(F.col("v_q"), F.col("v_i"),
+                                       F.col("n_q"), F.col("n_i")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (
@@ -130,17 +133,18 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     item_vecs = embeddings.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("v_i"),
-    )
+    ).withColumn("n_i", norm_expr(F.col("v_i")))
     query_vecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v_q"),
-    )
+    ).withColumn("n_q", norm_expr(F.col("v_q")))
     scored = (
         cand_ids.join(item_vecs, "item_id")
         .join(F.broadcast(query_vecs), "query_id")
         .select(
             "query_id", "item_id",
-            F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+            F.round(cosine_with_norms_expr(F.col("v_q"), F.col("v_i"),
+                                           F.col("n_q"), F.col("n_i")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
@@ -168,40 +172,46 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """
     e = embeddings.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("n", norm_expr(F.col("v")))
     cents = (
         e.withColumn("r", F.md5(F.concat(F.lit("ivf:"), F.col("item_id").cast("string"))))
         .orderBy("r", "item_id")
         .limit(n_cells)
-        .select(F.col("item_id").alias("cell_id"), F.col("v").alias("cv"))
+        .select(F.col("item_id").alias("cell_id"), F.col("v").alias("cv"),
+                F.col("n").alias("ncv"))
     )
     bc = F.broadcast(cents)
 
     def cells_of(df: DataFrame, idc: str, n_keep: int) -> DataFrame:
         scored = df.join(bc, how="cross").select(
-            idc, "v", "cell_id", cosine_expr(F.col("v"), F.col("cv")).alias("cd")
+            idc, "v", "n", "cell_id",
+            cosine_with_norms_expr(F.col("v"), F.col("cv"),
+                                   F.col("n"), F.col("ncv")).alias("cd"),
         )
         w = Window.partitionBy(idc).orderBy(F.desc("cd"), F.asc("cell_id"))
         return (
             scored.withColumn("cr", F.row_number().over(w))
             .filter(F.col("cr") <= n_keep)
-            .select(idc, "v", "cell_id")
+            .select(idc, "v", "n", "cell_id")
         )
 
     items = cells_of(e, "item_id", 1)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    probes = cells_of(q, "query_id", nprobe).withColumnRenamed("v", "v_q")
+    ).withColumn("n", norm_expr(F.col("v")))
+    probes = (cells_of(q, "query_id", nprobe)
+              .withColumnRenamed("v", "v_q").withColumnRenamed("n", "n_q"))
     cands = (
         items.join(F.broadcast(probes), "cell_id")
         .filter(F.col("item_id") != F.col("query_id"))
-        .select("query_id", "item_id", "v_q", F.col("v").alias("v_i"))
+        .select("query_id", "item_id", "v_q", "n_q",
+                F.col("v").alias("v_i"), F.col("n").alias("n_i"))
         .dropDuplicates(["query_id", "item_id"])
     )
     scored = cands.select(
         "query_id", "item_id",
-        F.round(cosine_expr(F.col("v_q"), F.col("v_i")), 6).alias("cosine"),
+        F.round(cosine_with_norms_expr(F.col("v_q"), F.col("v_i"),
+                                       F.col("n_q"), F.col("n_i")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (
