@@ -355,3 +355,27 @@ def test_auto_hub_chunk_engages_on_hub(spark, monkeypatch):
               for r in ts.asof_join(trades, quotes,
                                     hub_chunk_seconds="auto", **akw).collect()}
     assert auto_a == plain_a and len(plain_a) == 200
+
+
+def test_auto_hub_chunk_edge_cases(spark, monkeypatch):
+    """Resolver edge cases: empty input, a single-instant hub (span 0 —
+    time chunking cannot split it), all-null times, and numeric/None
+    passthrough all fall back to the plain single-window path."""
+    from financial_knowledge_graphs_spark.operators import timeseries as ts
+
+    monkeypatch.setattr(ts, "AUTO_HUB_MAX_ROWS", 5)
+    empty = spark.range(0).select(
+        F.col("id").alias("key"), F.timestamp_seconds(F.col("id")).alias("ts"))
+    assert ts._resolve_hub_chunk(empty, ["key"], F.col("ts"), "auto") is None
+
+    one_t = spark.range(20).select(
+        F.lit(0).alias("key"), F.timestamp_seconds(F.lit(100)).alias("ts"))
+    assert ts._resolve_hub_chunk(one_t, ["key"], F.col("ts"), "auto") is None
+
+    null_t = spark.range(20).select(
+        F.lit(0).alias("key"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    assert ts._resolve_hub_chunk(null_t, ["key"], F.col("ts"), "auto") is None
+
+    assert ts._resolve_hub_chunk(one_t, ["key"], F.col("ts"), 500) == 500
+    assert ts._resolve_hub_chunk(one_t, ["key"], F.col("ts"), None) is None
